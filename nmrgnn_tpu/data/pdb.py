@@ -1,0 +1,147 @@
+"""Minimal, fast PDB structure/trajectory reader.
+
+Replaces the reference's MDAnalysis dependency for the eval-struct path
+(reference: main.py:217-236 builds an MDAnalysis Universe and iterates
+u.trajectory). We parse ATOM/HETATM records directly (fixed-column PDB
+format), support gzip, and expose multi-MODEL files as trajectories
+(tests/7lgi.pdb.gz has 10 MODELs).
+
+Coordinates are returned in Angstrom (PDB native); graph construction
+converts to nm downstream (SURVEY.md Appendix B: RBF grid 0.005-0.20
+implies nm).
+
+A C++ fast path (native/pdb_reader.cc) is used when the shared library
+has been built; this pure-Python path is the always-available fallback.
+"""
+from __future__ import annotations
+
+import dataclasses
+import gzip
+import io
+import os
+from typing import List, Optional
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class Structure:
+    """Parsed structure: per-atom metadata + one or more coordinate frames."""
+
+    coords: np.ndarray          # f32[T, N, 3] Angstrom
+    elements: List[str]         # N element symbols (upper-case)
+    names: List[str]            # N atom names (e.g. 'CA', 'HB2')
+    resnames: List[str]         # N residue names (e.g. 'ALA')
+    resids: np.ndarray          # i32[N]
+    chains: List[str]           # N chain IDs
+
+    @property
+    def n_atoms(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def n_frames(self) -> int:
+        return self.coords.shape[0]
+
+
+def _element_from_columns(line: str, name: str) -> str:
+    elem = line[76:78].strip() if len(line) >= 78 else ""
+    if elem:
+        return elem.upper()
+    # Fall back to the atom name: strip digits, handle leading digit
+    # (e.g. '1HB2') and two-letter elements.
+    n = name.strip()
+    while n and n[0].isdigit():
+        n = n[1:]
+    if not n:
+        return "Z"
+    if len(n) >= 2 and n[:2].upper() in ("CL", "BR", "NA", "MG", "ZN", "FE", "CA"):
+        # 'CA' the atom name is calcium only for HETATM ions; in protein
+        # residues CA is an alpha carbon — prefer single-letter there.
+        if n[:2].upper() == "CA":
+            return "C"
+        return n[:2].upper()
+    return n[0].upper()
+
+
+def _open(path: str):
+    if path.endswith(".gz"):
+        return io.TextIOWrapper(gzip.open(path, "rb"), encoding="ascii", errors="replace")
+    return open(path, "r", encoding="ascii", errors="replace")
+
+
+def read_pdb(path: str, *, het: bool = True) -> Structure:
+    """Parse a (possibly gzipped, multi-MODEL) PDB file."""
+    elements: List[str] = []
+    names: List[str] = []
+    resnames: List[str] = []
+    resids: List[int] = []
+    chains: List[str] = []
+    frames: List[np.ndarray] = []
+    cur: List[tuple] = []
+    first_model_done = False
+
+    with _open(path) as f:
+        for line in f:
+            rec = line[:6]
+            if rec == "ATOM  " or (het and rec == "HETATM"):
+                x = float(line[30:38])
+                y = float(line[38:46])
+                z = float(line[46:54])
+                cur.append((x, y, z))
+                if not first_model_done:
+                    name = line[12:16].strip()
+                    names.append(name)
+                    resnames.append(line[17:20].strip())
+                    try:
+                        resids.append(int(line[22:26]))
+                    except ValueError:
+                        resids.append(0)
+                    chains.append(line[21].strip())
+                    elements.append(_element_from_columns(line, name))
+            elif rec.startswith("ENDMDL"):
+                if cur:
+                    frames.append(np.asarray(cur, np.float32))
+                    cur = []
+                    first_model_done = True
+            elif rec.startswith("END") and not rec.startswith("ENDMDL"):
+                break
+    if cur:
+        frames.append(np.asarray(cur, np.float32))
+
+    if not frames:
+        raise ValueError(f"no ATOM records found in {path}")
+    n = len(frames[0])
+    frames = [fr for fr in frames if len(fr) == n]  # drop ragged trailing models
+    return Structure(
+        coords=np.stack(frames),
+        elements=elements,
+        names=names,
+        resnames=resnames,
+        resids=np.asarray(resids, np.int32),
+        chains=chains,
+    )
+
+
+def read_structure(*paths: str) -> Structure:
+    """Read one or more structure files; extra files append trajectory
+    frames (the reference passes multiple files to md.Universe,
+    main.py:220). Atom metadata comes from the first file."""
+    if not paths:
+        raise ValueError("must pass at least one structure file")
+    base = read_pdb(paths[0])
+    if len(paths) == 1:
+        return base
+    frames = [base.coords]
+    for p in paths[1:]:
+        ext = os.path.splitext(p.rstrip(".gz"))[1].lower()
+        if ext == ".pdb":
+            s = read_pdb(p)
+            if s.n_atoms != base.n_atoms:
+                raise ValueError(f"{p}: atom count mismatch ({s.n_atoms} vs {base.n_atoms})")
+            frames.append(s.coords)
+        else:
+            raise ValueError(
+                f"unsupported trajectory format {ext!r}; supported: .pdb(.gz) multi-MODEL"
+            )
+    return dataclasses.replace(base, coords=np.concatenate(frames, axis=0))

@@ -1,0 +1,100 @@
+"""Message-passing aggregation ops (pure functions, XLA path).
+
+The core op reproduces the reference MPLayer contraction
+(reference: layers.py:26-46):
+
+    out[i, m] = act( sum_{j,n,l} edges[i,j,n] * nodes[nlist[i,j], l]
+                                 * w[l, m, n] * inv_degree[i] )
+
+TPU-first decomposition: instead of the reference's single 4-operand
+einsum over a materialized [N, K, F] gather, we contract the small K
+axis first — ``h[i,n,l] = sum_j edges[i,j,n] * gathered[i,j,l]`` — and
+then run E=edge_feature_size dense [N,F]x[F,F] matmuls on the MXU.
+XLA fuses the gather into the K-contraction so the [N,K,F] intermediate
+never hits HBM at full precision, and the FLOP-heavy part is pure MXU.
+
+An attention variant (AMP) mirrors the reference AMPLayer
+(reference: layers.py:48-100) with its softmax over the fixed K
+neighbor axis (no ring attention needed: K=16 is local).
+
+For large graphs the Pallas block-sparse path in
+:mod:`nmrgnn_tpu.ops.blocksparse` replaces the gather entirely.
+"""
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+
+def mp_aggregate(
+    nodes: jnp.ndarray,       # f32[N, F]
+    nlist: jnp.ndarray,       # i32[N, K]
+    edges: jnp.ndarray,       # f32[N, K, E]
+    inv_degree: jnp.ndarray,  # f32[N]
+    w: jnp.ndarray,           # f32[F, F, E]
+    *,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """Bilinear neighborhood aggregation; returns f32[N, F] (pre-activation)."""
+    gathered = jnp.take(nodes, nlist, axis=0)                  # [N, K, F]
+    # contract the small neighbor axis first: [N, E, F]
+    h = jnp.einsum(
+        "ijn,ijl->inl",
+        edges.astype(compute_dtype),
+        gathered.astype(compute_dtype),
+    )
+    # E dense matmuls on the MXU: [N, E, F] x [F, F, E] -> [N, F]
+    out = jnp.einsum(
+        "inl,lmn->im",
+        h,
+        w.astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
+    return out.astype(jnp.float32) * inv_degree[:, None]
+
+
+def mp_layer(
+    w: jnp.ndarray,
+    nodes: jnp.ndarray,
+    nlist: jnp.ndarray,
+    edges: jnp.ndarray,
+    inv_degree: jnp.ndarray,
+    activation: Callable = jax.nn.softplus,
+    *,
+    compute_dtype=jnp.float32,
+) -> jnp.ndarray:
+    """MPLayer forward (reference layers.py:26-46): aggregation + activation."""
+    return activation(
+        mp_aggregate(nodes, nlist, edges, inv_degree, w, compute_dtype=compute_dtype)
+    )
+
+
+def amp_layer(
+    wq: jnp.ndarray,          # f32[F, E]
+    wk: jnp.ndarray,          # f32[E, E]
+    wv: jnp.ndarray,          # f32[F, F]
+    nodes: jnp.ndarray,       # f32[N, F]
+    nlist: jnp.ndarray,       # i32[N, K]
+    edges: jnp.ndarray,       # f32[N, K, E]
+    inv_degree: jnp.ndarray,  # f32[N]
+    activation: Callable = jax.nn.softplus,
+) -> jnp.ndarray:
+    """Attention message passing (reference layers.py:82-96).
+
+    Softmax attention over each atom's K neighbor slots:
+      query  = nodes @ wq                     [N, E]
+      keys   = edges @ wk                     [N, K, E]
+      values = nodes[nlist] @ wv              [N, K, F]
+      logits[i,j] = inv_degree[i] * <keys[i,j], query[i]>
+      out = act( softmax(logits) @ values )
+    """
+    gathered = jnp.take(nodes, nlist, axis=0)          # [N, K, F]
+    query = nodes @ wq                                 # [N, E]
+    keys = edges @ wk                                  # [N, K, E]
+    values = jnp.einsum("ijl,lm->ijm", gathered, wv)   # [N, K, F]
+    logits = inv_degree[:, None] * jnp.einsum("ijk,ik->ij", keys, query)
+    attn = jax.nn.softmax(logits, axis=-1)             # [N, K]
+    out = jnp.einsum("ij,ijm->im", attn, values)       # [N, F]
+    return activation(out)
