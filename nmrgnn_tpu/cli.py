@@ -1,0 +1,340 @@
+"""Command-line interface: train | hyper | eval-tfrecords | eval-struct |
+make-fragments.
+
+Mirrors the reference click CLI (reference: main.py:15-343) with the same
+command names, arguments and output formats (CSV + markdown tables), plus
+a native ``make-fragments`` command replacing the external nmrdata
+preprocessing.
+"""
+from __future__ import annotations
+
+import os
+import pickle
+import time
+
+import click
+import numpy as np
+
+
+@click.group()
+def main():
+    """nmrgnn-tpu: TPU-native NMR chemical shift prediction."""
+    # Some environments pre-register an accelerator PJRT plugin in
+    # sitecustomize and pin JAX_PLATFORMS; honor an explicit CPU override.
+    if os.environ.get("NMRGNN_TPU_FORCE_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+
+def _jax():
+    import jax
+
+    return jax
+
+
+@main.command()
+@click.argument("tfrecords", nargs=-1, type=click.Path(exists=True))
+@click.argument("name")
+@click.argument("epochs", default=3)
+@click.option("--checkpoint-path", default="/tmp/checkpoint", type=click.Path())
+@click.option("--embeddings", default=None, help="path to embeddings JSON")
+@click.option("--validation", default=0.1, help="relative size of validation")
+@click.option("--tensorboard", default=None, help="path for scalar logs (jsonl)")
+@click.option("--load/--noload", default=False, help="resume from checkpoint path")
+@click.option("--loss-balance", default=1.0, help="L2 (1.0) vs corr (0.0) balance")
+@click.option("--batch-size", default=8)
+@click.option("--pad-to", default=256)
+@click.option("--config", "config_path", default=None, type=click.Path(exists=True),
+              help="ModelConfig JSON (defaults to the baseline hyperparameters)")
+def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
+          tensorboard, load, loss_balance, batch_size, pad_to, config_path):
+    """Train the model on fragment TFRecords (reference main.py:36-90)."""
+    from .config import ModelConfig, TrainConfig
+    from .data.dataset import split_dataset
+    from .data.embeddings import load_embeddings
+    from .library import save_model
+    from .train.trainer import Trainer
+
+    if not tfrecords:
+        raise click.UsageError("Must give input TFRecord files")
+    emb = load_embeddings(embeddings)
+    if config_path:
+        with open(config_path) as f:
+            cfg = ModelConfig.from_json(f.read())
+    else:
+        cfg = ModelConfig()
+    tcfg = TrainConfig(
+        epochs=epochs, validation=validation, loss_balance=loss_balance,
+        checkpoint_path=checkpoint_path, batch_size=batch_size, pad_to=pad_to,
+    )
+    click.echo(f"Loading from {len(tfrecords)} files")
+    train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
+    click.echo(f"train={len(train_s)} val={len(val_s)} fragments")
+
+    trainer = Trainer(cfg, tcfg, emb)
+    state = trainer.load_checkpoint(checkpoint_path) if load else trainer.init_state()
+
+    callbacks = []
+    if tensorboard:
+        os.makedirs(tensorboard, exist_ok=True)
+        logf = open(os.path.join(tensorboard, "scalars.jsonl"), "a")
+
+        def log_cb(st, logs):
+            import json
+
+            logf.write(json.dumps({"epoch": st.epoch, **logs}) + "\n")
+            logf.flush()
+
+        callbacks.append(log_cb)
+
+    state = trainer.fit(
+        train_s, val_s, epochs=epochs, state=state,
+        checkpoint_path=checkpoint_path, callbacks=callbacks,
+    )
+    save_model(name, state.params, cfg)
+    # history pickle, reference main.py:84-90
+    pfile, i = name + "-history-0.pb", 0
+    while os.path.exists(pfile):
+        i += 1
+        pfile = f"{name}-history-{i}.pb"
+    with open(pfile, "wb") as f:
+        pickle.dump(state.history, file=f)
+    click.echo(f"Saved model to {name}")
+
+
+@main.command("eval-tfrecords")
+@click.argument("tfrecords", nargs=-1, type=click.Path(exists=True))
+@click.option("--model-file", type=click.Path(exists=True), default=None)
+@click.option("--validation", default=0.0)
+@click.option("--data-name", default="")
+@click.option("--merge", default=None, help="merge results into a markdown table")
+@click.option("--batch-size", default=8)
+@click.option("--pad-to", default=256)
+def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_size, pad_to):
+    """Evaluate on fragment TFRecords; writes {model}.csv and a markdown
+    table in the reference's format (reference main.py:99-189). Note the
+    '-rmsd' columns are mean *squared* error, matching the reference's
+    published tables (quirk C4)."""
+    import pandas as pd
+
+    import jax.numpy as jnp
+
+    from .data.dataset import FragmentLoader, split_dataset
+    from .data.embeddings import load_embeddings
+    from .graph import Graph
+    from .library import load_model
+    from .models import gnn
+
+    if not tfrecords:
+        raise click.UsageError("Must give input TFRecord files")
+    params, cfg = load_model(model_file)
+    model_name = os.path.basename(model_file or "baseline")
+    train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
+    data = val_s if validation > 0 else train_s
+    emb = load_embeddings()
+    rev_names = {v: k for k, v in emb["name"].items()}
+
+    import jax
+
+    fwd = jax.jit(lambda p, g: gnn.apply_batched(p, cfg, g))
+    loader = FragmentLoader(data, pad_to=pad_to, batch_size=batch_size, shuffle=False)
+    element, prediction, shift, nm, class_name = [], [], [], [], []
+    count = 0
+    for g, y, w in loader.batches():
+        yhat = np.asarray(fwd(params, Graph(*[jnp.asarray(a) for a in g])))
+        for b in range(y.shape[0]):
+            sel = w[b] > 0
+            for n_i, yt, yp in zip(y[b][sel, 1], y[b][sel, 0], yhat[b][sel]):
+                full = rev_names.get(int(n_i), "X-X")
+                cls, atom = full.split("-", 1)
+                nm.append(atom)
+                class_name.append(cls)
+                element.append(atom[0])
+                prediction.append(float(yp))
+                shift.append(float(yt))
+        count += 1
+        click.echo(f"\rComputing...{count}", nl=False)
+    click.echo("done")
+
+    out = pd.DataFrame(
+        {"element": element, "y": shift, "yhat": prediction,
+         "class": class_name, "name": nm}
+    )
+    out.to_csv(f"{model_name}.csv", index=False)
+
+    results = {}
+    for e in np.unique(out.element):
+        sub = out[out.element == e]
+        results[f"{data_name}-{e}-r"] = [len(sub.y), sub[["y", "yhat"]].corr().iloc[0, 1]]
+    for n in np.unique(out.name):
+        sub = out[out.name == n]
+        results[f"{data_name}-{n}-r"] = [len(sub.y), sub[["y", "yhat"]].corr().iloc[0, 1]]
+    for e in np.unique(out.element):
+        sub = out[out.element == e]
+        results[f"{data_name}-{e}-rmsd"] = [len(sub.y), np.mean((sub.yhat - sub.y) ** 2)]
+    for n in np.unique(out.name):
+        sub = out[out.name == n]
+        results[f"{data_name}-{n}-rmsd"] = [len(sub.y), np.mean((sub.yhat - sub.y) ** 2)]
+    results = pd.DataFrame(results, index=["N", model_name]).transpose()
+
+    if merge is None:
+        merge = f"{model_name}.md"
+    elif os.path.exists(merge):
+        other = pd.read_table(
+            merge, sep="|", header=0, index_col=1, skipinitialspace=True
+        ).dropna(axis=1, how="all").iloc[1:]
+        other.columns = other.columns.str.replace(" ", "")
+        results = pd.concat([results, other])
+    with open(merge, "w") as f:
+        f.write(results.to_markdown())
+        f.write("\n")
+    click.echo(f"Wrote {model_name}.csv and {merge}")
+
+
+@main.command("eval-struct")
+@click.argument("struct-files", nargs=-1, type=click.Path(exists=True))
+@click.argument("output-csv")
+@click.option("--model-file", type=click.Path(exists=True), default=None)
+@click.option("--neighbor-number", default=16)
+@click.option("--stride", default=1, help="trajectory frame stride")
+@click.option("--device-graph/--host-graph", default=False,
+              help="build neighbor lists on-device (TPU) instead of host")
+def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride, device_graph):
+    """Predict chemical shifts for structure file(s)
+    (reference main.py:192-278). Writes per-atom CSV with confidence."""
+    import pandas as pd
+
+    import jax
+    import jax.numpy as jnp
+
+    from .data.parse import ANGSTROM_TO_NM, atoms_one_hot, inv_degree_np
+    from .data.pdb import read_structure
+    from .data.neighbors import neighbors_device, neighbors_host
+    from .graph import Graph, bucket_size
+    from .library import check_peaks, load_model
+    from .models import gnn
+
+    if not struct_files:
+        raise click.UsageError("Must pass at least one structure file")
+    params, cfg = load_model(model_file)
+
+    t0 = time.time_ns()
+    struct = read_structure(*struct_files)
+    parse_ns = time.time_ns() - t0
+
+    n = struct.n_atoms
+    pad_n = bucket_size(n)
+    atoms_np = atoms_one_hot(struct.elements, cfg.num_elements)
+    atoms_pad = np.pad(atoms_np, ((0, pad_n - n), (0, 0)))
+
+    fwd = jax.jit(lambda p, g: gnn.apply(p, cfg, g))
+
+    frames = range(0, struct.n_frames, stride)
+    timing = {"graph": 0, "inference": 0, "output": 0, "read": parse_ns}
+    rows = []
+    backend = jax.default_backend()
+    click.echo(f"Running on {backend} ({len(frames)} frame(s), {n} atoms)")
+    for i in frames:
+        t = time.time_ns()
+        if device_graph:
+            coords = jnp.asarray(
+                np.pad(struct.coords[i], ((0, pad_n - n), (0, 0)))
+            )
+            nlist, dists = neighbors_device(coords, neighbor_number, n_real=jnp.int32(n))
+            edges = dists * ANGSTROM_TO_NM
+            from .graph import inv_degree_from_nlist
+
+            g = Graph(jnp.asarray(atoms_pad), nlist, edges, inv_degree_from_nlist(nlist))
+        else:
+            nlist_np, dists_np = neighbors_host(struct.coords[i], neighbor_number)
+            edges_np = (dists_np * ANGSTROM_TO_NM).astype(np.float32)
+            nlist_pad = np.pad(nlist_np, ((0, pad_n - n), (0, 0)))
+            g = Graph(
+                jnp.asarray(atoms_pad),
+                jnp.asarray(nlist_pad),
+                jnp.asarray(np.pad(edges_np, ((0, pad_n - n), (0, 0)))),
+                jnp.asarray(np.pad(inv_degree_np(nlist_np), ((0, pad_n - n),))),
+            )
+        timing["graph"] += time.time_ns() - t
+        t = time.time_ns()
+        peaks = np.asarray(fwd(params, g))[:n]
+        timing["inference"] += time.time_ns() - t
+        t = time.time_ns()
+        try:
+            confident = check_peaks(atoms_np, peaks)
+        except Warning as wrn:
+            click.echo(f"warning: {wrn}", err=True)
+            confident = np.zeros(n, bool)
+        rows.append(
+            pd.DataFrame(
+                {
+                    "index": np.arange(n),
+                    "residues": struct.resnames,
+                    "resids": struct.resids,
+                    "names": struct.names,
+                    "peaks": np.round(peaks, 2),
+                    "confident": confident,
+                    "time": np.repeat(float(i), n),
+                    "frame": np.repeat(i, n),
+                }
+            )
+        )
+        timing["output"] += time.time_ns() - t
+        click.echo(
+            "|".join(f"{k}:{v/1e9:5.2f}s" for k, v in timing.items())
+        )
+    pd.concat(rows).to_csv(output_csv, index=False)
+    click.echo(f"Done. Results in {output_csv}")
+
+
+@main.command("make-fragments")
+@click.argument("struct-files", nargs=-1, type=click.Path(exists=True))
+@click.argument("output-tfrecord")
+@click.option("--fragment-size", default=256)
+@click.option("--neighbor-number", default=16)
+@click.option("--frames", default=None, type=int, help="limit trajectory frames")
+def make_fragments(struct_files, output_tfrecord, fragment_size, neighbor_number, frames):
+    """Fragment structures into a training TFRecord (native replacement
+    for the external nmrdata preprocessing; synthetic labels unless a
+    shift table is provided — see data.fragment)."""
+    from .data.fragment import write_structure_fragments
+    from .data.pdb import read_structure
+
+    total = 0
+    for sf in struct_files:
+        struct = read_structure(sf)
+        r = range(min(frames, struct.n_frames)) if frames else None
+        total += write_structure_fragments(
+            output_tfrecord, struct, frames=r,
+            fragment_size=fragment_size, neighbor_number=neighbor_number,
+        )
+    click.echo(f"Wrote {total} fragments to {output_tfrecord}")
+
+
+@main.command()
+@click.argument("tfrecords", nargs=-1, type=click.Path(exists=True))
+@click.argument("epochs", default=3)
+@click.option("--tuning_path", default="tuning")
+@click.option("--embeddings", default=None)
+@click.option("--validation", default=0.1)
+@click.option("--trials", default=8, help="number of sampled configurations")
+@click.option("--seed", default=0)
+def hyper(tfrecords, epochs, tuning_path, embeddings, validation, trials, seed):
+    """Tune hyperparameters (reference main.py:281-339) with a native
+    successive-halving random search over the reference's HP space."""
+    from .train.hyper import run_hyper
+
+    if not tfrecords:
+        raise click.UsageError("Must give input TFRecord files")
+    best = run_hyper(
+        list(tfrecords), epochs=epochs, validation=validation,
+        trials=trials, tuning_path=tuning_path, seed=seed,
+        embeddings_path=embeddings,
+    )
+    click.echo(f"Best config written to {tuning_path}/best_config.json")
+    click.echo(best.to_json())
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,313 @@
+"""Training loop: jitted update steps, plateau LR schedule, streaming
+metric accumulation, checkpoint/resume.
+
+Replaces the reference's Keras fit stack (reference: main.py:46-90):
+  * Adam (reference model.py:44-45) via optax.inject_hyperparams so the
+    learning rate is runtime-adjustable without retracing
+  * ReduceLROnPlateau(factor=0.99, patience=4, min_lr=1e-4)
+    (reference main.py:54-55) as a host-side callback
+  * per-epoch weights checkpointing + resume (reference main.py:50-51,63-68)
+  * metric accumulation across batches by streaming sufficient moments
+    (a fix over the reference's last-batch-overwrite metrics, quirk C3)
+
+TPU-first: the step is one jitted function over a padded
+[B, N] fragment batch with donated params/opt_state; per-atom sample
+weights ``w`` fold into the label mask (the Keras sample_weight channel).
+"""
+from __future__ import annotations
+
+import dataclasses
+import os
+import pickle
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..config import ModelConfig, TrainConfig
+from ..data.dataset import FragmentLoader, Sample
+from ..data.embeddings import load_embeddings, load_standards
+from ..graph import Graph
+from ..library import save_model
+from ..models import gnn
+from .losses import name_loss
+from .metrics import METRIC_SPECS, type_mask
+
+# ---------------------------------------------------------------------------
+# metric moments: enough sufficient statistics to finalize rmsd/corr/count
+# across an epoch without storing predictions.
+
+_MOMENT_NAMES = ("w", "wx", "wy", "wx2", "wy2", "wxy", "wd2")
+
+
+def _moments(y_true, y_pred, label_idx):
+    from .losses import label_mask
+
+    w = label_mask(y_true, label_idx)
+    x = y_true[..., 0]
+    y = y_pred
+    return jnp.stack(
+        [
+            jnp.sum(w),
+            jnp.sum(w * x),
+            jnp.sum(w * y),
+            jnp.sum(w * x * x),
+            jnp.sum(w * y * y),
+            jnp.sum(w * x * y),
+            jnp.sum(w * (x - y) ** 2),
+        ]
+    )
+
+
+def finalize_metric(kind: str, m: np.ndarray) -> float:
+    w, wx, wy, wx2, wy2, wxy, wd2 = [float(v) for v in m]
+    if kind == "count":
+        return w
+    if w == 0:
+        return 0.0
+    if kind == "rmsd":
+        return float(np.sqrt(wd2 / w))
+    if kind == "corr":
+        xm, ym = wx / w, wy / w
+        cov = wxy / w - xm * ym
+        vx = wx2 / w - xm * xm
+        vy = wy2 / w - ym * ym
+        den = np.sqrt(max(vx * vy, 0.0))
+        return float(cov / den) if den > 0 else 0.0
+    raise ValueError(kind)
+
+
+def metric_kinds() -> List[Tuple[str, str, tuple]]:
+    """(metric_name, kind, label_idx) for the standard suite."""
+    emb = load_embeddings()
+    out = []
+    for name, fn, pattern in METRIC_SPECS:
+        kind = "rmsd" if "rmsd" in name else ("count" if "count" in name else "corr")
+        try:
+            idx = tuple(type_mask(pattern, emb, regex=True))
+        except ValueError:
+            continue
+        out.append((name, kind, idx))
+    return out
+
+
+# ---------------------------------------------------------------------------
+
+
+def fold_sample_weight(y: jnp.ndarray, w: jnp.ndarray) -> jnp.ndarray:
+    """Multiply the per-atom sample weight into the label flag channel."""
+    return y.at[..., 2].multiply(w)
+
+
+@dataclasses.dataclass
+class TrainState:
+    params: dict
+    opt_state: object
+    epoch: int = 0
+    lr: float = 1e-4
+    best_val: float = float("inf")
+    plateau: int = 0
+    history: dict = dataclasses.field(default_factory=dict)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: Optional[ModelConfig] = None,
+        train_config: Optional[TrainConfig] = None,
+        embeddings: Optional[dict] = None,
+    ):
+        self.config = config or ModelConfig()
+        self.tcfg = train_config or TrainConfig()
+        self.embeddings = embeddings or load_embeddings()
+        self.loss_idx = tuple(type_mask(r".*", self.embeddings, regex=True))
+        self.metric_specs = metric_kinds()
+        self._tx = optax.inject_hyperparams(optax.adam)(
+            learning_rate=self.config.learning_rate
+        )
+        self._build_steps()
+
+    # -- jitted steps ------------------------------------------------------
+    def _build_steps(self):
+        cfg = self.config
+        s = self.tcfg.loss_balance
+        loss_idx = self.loss_idx
+        tx = self._tx
+        specs = self.metric_specs
+
+        def loss_fn(params, graph, y, w, rng):
+            peaks = gnn.apply_batched(params, cfg, graph, training=True, rng=rng)
+            yt = fold_sample_weight(y, w)
+            return name_loss(
+                yt.reshape(-1, 3), peaks.reshape(-1), loss_idx, s=s
+            )
+
+        def train_step(params, opt_state, graph, y, w, rng):
+            loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w, rng)
+            updates, opt_state = tx.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return params, opt_state, loss
+
+        def eval_step(params, graph, y, w):
+            peaks = gnn.apply_batched(params, cfg, graph)
+            yt = fold_sample_weight(y, w).reshape(-1, 3)
+            yp = peaks.reshape(-1)
+            loss = name_loss(yt, yp, loss_idx, s=s)
+            moments = jnp.stack([_moments(yt, yp, idx) for _, _, idx in specs])
+            return loss, moments
+
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.eval_step = jax.jit(eval_step)
+
+    # -- state / checkpoint ------------------------------------------------
+    def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
+        rng = rng if rng is not None else jax.random.PRNGKey(self.tcfg.seed)
+        params = gnn.init_params(rng, self.config, load_standards())
+        return TrainState(
+            params=params,
+            opt_state=self._tx.init(params),
+            lr=self.config.learning_rate,
+        )
+
+    def save_checkpoint(self, path: str, state: TrainState) -> None:
+        from flax import serialization
+
+        os.makedirs(path, exist_ok=True)
+        save_model(path, state.params, self.config)
+        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(state.opt_state))
+        with open(os.path.join(path, "train_state.pkl"), "wb") as f:
+            pickle.dump(
+                {
+                    "epoch": state.epoch,
+                    "lr": state.lr,
+                    "best_val": state.best_val,
+                    "plateau": state.plateau,
+                    "history": state.history,
+                },
+                f,
+            )
+
+    def load_checkpoint(self, path: str) -> TrainState:
+        from flax import serialization
+
+        from ..library import load_model
+
+        params, _ = load_model(path)
+        state = self.init_state()
+        state.params = params
+        opt_file = os.path.join(path, "opt_state.msgpack")
+        if os.path.exists(opt_file):
+            with open(opt_file, "rb") as f:
+                state.opt_state = serialization.from_bytes(
+                    self._tx.init(params), f.read()
+                )
+        meta_file = os.path.join(path, "train_state.pkl")
+        if os.path.exists(meta_file):
+            with open(meta_file, "rb") as f:
+                meta = pickle.load(f)
+            state.epoch = meta["epoch"]
+            state.lr = meta["lr"]
+            state.best_val = meta["best_val"]
+            state.plateau = meta["plateau"]
+            state.history = meta["history"]
+        return state
+
+    def _set_lr(self, state: TrainState):
+        state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
+            state.lr, jnp.float32
+        )
+
+    # -- epoch loops -------------------------------------------------------
+    def evaluate(self, samples: Sequence[Sample], params) -> Dict[str, float]:
+        loader = FragmentLoader(
+            samples,
+            pad_to=self.tcfg.pad_to,
+            batch_size=self.tcfg.batch_size,
+            shuffle=False,
+        )
+        return self.evaluate_loader(loader, params=params)
+
+    def evaluate_loader(self, loader, params=None, state=None) -> Dict[str, float]:
+        params = params if params is not None else state.params
+        total_loss, nb = 0.0, 0
+        acc = np.zeros((len(self.metric_specs), len(_MOMENT_NAMES)))
+        for g, y, w in loader.batches():
+            loss, moments = self.eval_step(
+                params, Graph(*[jnp.asarray(a) for a in g]), jnp.asarray(y), jnp.asarray(w)
+            )
+            total_loss += float(loss)
+            nb += 1
+            acc += np.asarray(moments)
+        out = {"loss": total_loss / max(nb, 1)}
+        for (name, kind, _), m in zip(self.metric_specs, acc):
+            out[name] = finalize_metric(kind, m)
+        return out
+
+    def fit(
+        self,
+        train_samples: Sequence[Sample],
+        val_samples: Sequence[Sample],
+        epochs: Optional[int] = None,
+        state: Optional[TrainState] = None,
+        checkpoint_path: Optional[str] = None,
+        verbose: bool = True,
+        callbacks: Sequence[Callable] = (),
+    ) -> TrainState:
+        epochs = epochs or self.tcfg.epochs
+        state = state or self.init_state()
+        rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        loader = FragmentLoader(
+            train_samples,
+            pad_to=self.tcfg.pad_to,
+            batch_size=self.tcfg.batch_size,
+            shuffle=True,
+            seed=self.tcfg.seed,
+        )
+        for _ in range(epochs):
+            self._set_lr(state)
+            epoch_loss, nb = 0.0, 0
+            for g, y, w in loader.batches():
+                rng, srng = jax.random.split(rng)
+                state.params, state.opt_state, loss = self.train_step(
+                    state.params,
+                    state.opt_state,
+                    Graph(*[jnp.asarray(a) for a in g]),
+                    jnp.asarray(y),
+                    jnp.asarray(w),
+                    srng,
+                )
+                epoch_loss += float(loss)
+                nb += 1
+            state.epoch += 1
+            logs = {"loss": epoch_loss / max(nb, 1), "lr": state.lr}
+            if val_samples:
+                val = self.evaluate(val_samples, state.params)
+                logs.update({f"val_{k}": v for k, v in val.items()})
+                # ReduceLROnPlateau (reference main.py:54-55)
+                if logs["val_loss"] < state.best_val - 1e-12:
+                    state.best_val = logs["val_loss"]
+                    state.plateau = 0
+                else:
+                    state.plateau += 1
+                    if state.plateau >= self.tcfg.lr_patience:
+                        if state.lr > self.tcfg.min_lr:
+                            state.lr = max(
+                                state.lr * self.tcfg.lr_reduce_factor,
+                                self.tcfg.min_lr,
+                            )
+                        state.plateau = 0
+            for k, v in logs.items():
+                state.history.setdefault(k, []).append(v)
+            if verbose:
+                msg = " ".join(
+                    f"{k}={v:.4g}" for k, v in logs.items() if isinstance(v, float)
+                )
+                print(f"epoch {state.epoch}: {msg}", flush=True)
+            if checkpoint_path:
+                self.save_checkpoint(checkpoint_path, state)
+            for cb in callbacks:
+                cb(state, logs)
+        return state

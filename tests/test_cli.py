@@ -1,0 +1,120 @@
+"""CLI end-to-end tests driving the real command surface via subprocess:
+make-fragments -> train -> eval-tfrecords -> eval-struct (the reference's
+four workflows, main.py:15-343)."""
+import json
+import os
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+PDB_108M = "/root/reference/tests/108M.pdb"
+
+ENV = dict(
+    os.environ,
+    JAX_PLATFORMS="cpu",
+    NMRGNN_TPU_FORCE_CPU="1",
+    XLA_FLAGS="--xla_force_host_platform_device_count=1",
+    PYTHONPATH="/root/repo" + os.pathsep + os.environ.get("PYTHONPATH", ""),
+)
+
+SMALL_CFG = {
+    "atom_feature_size": 32,
+    "edge_hidden_size": 16,
+    "mp_layers": 2,
+    "fc_layers": 2,
+    "edge_fc_layers": 2,
+    "dropout": False,
+    "noise": 0.0,
+    "learning_rate": 1e-3,
+}
+
+
+def run_cli(*args, cwd=None):
+    return subprocess.run(
+        [sys.executable, "-m", "nmrgnn_tpu.cli", *args],
+        capture_output=True, text=True, env=ENV, cwd=cwd or "/root/repo",
+        timeout=600,
+    )
+
+
+@pytest.fixture(scope="module")
+def workdir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    cfgf = d / "config.json"
+    cfgf.write_text(json.dumps(SMALL_CFG))
+    return d
+
+
+@pytest.fixture(scope="module")
+def frag_file(workdir):
+    out = str(workdir / "frags.tfrecord")
+    r = run_cli("make-fragments", PDB_108M, out, "--fragment-size", "64")
+    assert r.returncode == 0, r.stderr
+    assert "fragments" in r.stdout
+    return out
+
+
+@pytest.fixture(scope="module")
+def model_dir(workdir, frag_file):
+    model = str(workdir / "model")
+    r = run_cli(
+        "train", frag_file, model, "1",
+        "--config", str(workdir / "config.json"),
+        "--batch-size", "4", "--pad-to", "64",
+        "--checkpoint-path", str(workdir / "ckpt"),
+        cwd=str(workdir),
+    )
+    assert r.returncode == 0, r.stderr
+    assert os.path.exists(os.path.join(model, "params.msgpack"))
+    assert os.path.exists(str(workdir / "model-history-0.pb"))
+    return model
+
+
+class TestCLI:
+    def test_help(self):
+        r = run_cli("--help")
+        assert r.returncode == 0
+        for cmd in ("train", "hyper", "eval-tfrecords", "eval-struct", "make-fragments"):
+            assert cmd in r.stdout
+
+    def test_train_and_artifacts(self, model_dir):
+        cfg = json.load(open(os.path.join(model_dir, "config.json")))
+        assert cfg["mp_layers"] == 2
+
+    def test_eval_tfrecords(self, workdir, frag_file, model_dir):
+        r = run_cli(
+            "eval-tfrecords", frag_file, "--model-file", model_dir,
+            "--pad-to", "64", "--batch-size", "4", cwd=str(workdir),
+        )
+        assert r.returncode == 0, r.stderr
+        csv = workdir / "model.csv"
+        md = workdir / "model.md"
+        assert csv.exists() and md.exists()
+        table = md.read_text()
+        assert "-r" in table and "-rmsd" in table
+        import pandas as pd
+
+        df = pd.read_csv(csv)
+        assert set(df.columns) == {"element", "y", "yhat", "class", "name"}
+        assert len(df) > 100
+
+    def test_eval_struct(self, workdir, model_dir):
+        out = str(workdir / "peaks.csv")
+        r = run_cli("eval-struct", PDB_108M, out, "--model-file", model_dir)
+        assert r.returncode == 0, r.stderr
+        import pandas as pd
+
+        df = pd.read_csv(out)
+        assert len(df) == 2482
+        assert set(df.columns) >= {"index", "residues", "resids", "names",
+                                   "peaks", "confident", "frame"}
+
+    def test_eval_struct_requires_files(self):
+        r = run_cli("eval-struct", "out.csv")
+        assert r.returncode != 0
+
+    def test_train_requires_records(self, workdir):
+        r = run_cli("train", str(workdir / "x"), "1")
+        assert r.returncode != 0
