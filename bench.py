@@ -1,0 +1,148 @@
+"""Benchmark: message-passing edge throughput on the 108M.pdb forward.
+
+Prints ONE JSON line:
+  {"metric": "edges/s/chip (MP aggregate, 108M.pdb fwd)",
+   "value": ..., "unit": "edges/s", "vs_baseline": ...}
+
+``value``: aggregated MP edges per second through the full flagship
+forward pass on the default device (TPU when available):
+edges_per_forward = real_edges * mp_layers, timed steady-state.
+
+``vs_baseline``: speedup vs the reference-equivalent computation on this
+host's CPU (the reference is a single-device TF/Keras model with no
+accelerator-native path; its published table has no throughput numbers —
+SURVEY.md §6 — so the CPU run of the same math is the baseline). The CPU
+number is measured in a subprocess (JAX CPU backend) and cached in
+.bench_cpu_baseline.json keyed by graph size/config.
+"""
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
+PDB = "/root/reference/tests/108M.pdb"
+WARMUP = 3
+ITERS = 20
+
+
+def build_inputs():
+    import jax
+    import jax.numpy as jnp
+
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.data.embeddings import load_standards
+    from nmrgnn_tpu.data.parse import structure2graph
+    from nmrgnn_tpu.graph import Graph, bucket_size, pad_graph
+
+    config = ModelConfig()
+    g = structure2graph(PDB)
+    n_real_edges = int(np.sum(np.asarray(g.edges) > 0))
+    g = Graph(*[jnp.asarray(a) for a in g])
+    g = pad_graph(g, bucket_size(g.atoms.shape[0]))
+    params = init_params(jax.random.PRNGKey(0), config, load_standards())
+    return config, params, g, n_real_edges
+
+
+def measure(iters=ITERS, warmup=WARMUP):
+    """Steady-state forward latency via the chained-loop slope method.
+
+    The remote-TPU tunnel used in some environments is fully lazy —
+    block_until_ready returns before execution and only a host readback
+    forces work — so we time K forwards chained inside one jitted
+    fori_loop (output fed back into the input to serialize iterations)
+    ending in a scalar readback, at two K values; the slope is the true
+    per-forward latency with dispatch overhead subtracted.
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from nmrgnn_tpu.models import gnn
+
+    config, params, g, n_real_edges = build_inputs()
+
+    def chained(params, g, iters):
+        def body(i, carry):
+            g2 = g._replace(edges=g.edges + carry[:, None] * 1e-30)
+            return gnn.apply(params, config, g2)
+
+        peaks = lax.fori_loop(0, iters, body, jnp.zeros(g.atoms.shape[0]))
+        return jnp.sum(peaks)
+
+    f = jax.jit(chained, static_argnums=2)
+
+    def timed(k):
+        float(f(params, g, k))  # compile + warm
+        best = float("inf")
+        for _ in range(warmup):
+            t0 = time.perf_counter()
+            float(f(params, g, k))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    k_hi = iters
+    t_lo, t_hi = timed(1), timed(k_hi)
+    dt = max((t_hi - t_lo) / (k_hi - 1), 1e-9)
+    edges_per_fwd = n_real_edges * config.mp_layers
+    return edges_per_fwd / dt, dt, n_real_edges
+
+
+def cpu_baseline() -> float:
+    key = "108M-default-v1"
+    if os.path.exists(CACHE):
+        try:
+            d = json.load(open(CACHE))
+            if key in d:
+                return d[key]
+        except Exception:
+            pass
+    env = dict(os.environ, NMRGNN_TPU_BENCH_CPU="1", JAX_PLATFORMS="cpu")
+    r = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True, text=True, env=env, timeout=900, cwd=REPO,
+    )
+    try:
+        val = float(r.stdout.strip().splitlines()[-1])
+    except Exception:
+        return 0.0
+    json.dump({key: val}, open(CACHE, "w"))
+    return val
+
+
+def main():
+    if os.environ.get("NMRGNN_TPU_BENCH_CPU"):
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+        eps, _, _ = measure(iters=5, warmup=2)
+        print(eps)
+        return
+    eps, dt, n_edges = measure()
+    base = cpu_baseline()
+    vs = eps / base if base > 0 else 1.0
+    print(
+        json.dumps(
+            {
+                "metric": "edges/s/chip (MP aggregate, 108M.pdb fwd)",
+                "value": round(eps, 1),
+                "unit": "edges/s",
+                "vs_baseline": round(vs, 3),
+            }
+        )
+    )
+    print(
+        f"# fwd latency {dt*1e3:.3f} ms, {n_edges} real edges, "
+        f"cpu baseline {base:.3e} edges/s",
+        file=sys.stderr,
+    )
+
+
+if __name__ == "__main__":
+    main()

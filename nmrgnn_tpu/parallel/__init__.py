@@ -1,0 +1,23 @@
+from .mesh import best_factorization, initialize_distributed, make_mesh
+from .partition import apply_partitioned, jit_partitioned_forward, pad_to_multiple
+from .sharding import (
+    batch_spec,
+    make_parallel_train_step,
+    param_specs,
+    shard_batch,
+    shard_params,
+)
+
+__all__ = [
+    "best_factorization",
+    "initialize_distributed",
+    "make_mesh",
+    "apply_partitioned",
+    "jit_partitioned_forward",
+    "pad_to_multiple",
+    "batch_spec",
+    "make_parallel_train_step",
+    "param_specs",
+    "shard_batch",
+    "shard_params",
+]
