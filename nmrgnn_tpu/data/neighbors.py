@@ -25,8 +25,15 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def neighbors_host(coords: np.ndarray, k: int):
-    """cKDTree k-NN on host. coords: f32[N, 3]."""
+def neighbors_host(coords: np.ndarray, k: int, use_native: bool = True):
+    """Exact k-NN on host: native C++ cell list (threads) when built,
+    scipy cKDTree otherwise. coords: f32[N, 3]."""
+    if use_native and coords.shape[0] > k:
+        from .. import native
+
+        out = native.cell_list_knn(coords, k) if native.available() else None
+        if out is not None:
+            return out
     from scipy.spatial import cKDTree
 
     n = coords.shape[0]

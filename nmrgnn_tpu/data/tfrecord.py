@@ -227,7 +227,19 @@ class TFRecordWriter:
 
 
 def read_tfrecord(path: str, check_crc: bool = False) -> Iterator[bytes]:
-    """Yield raw record payloads from a TFRecord file."""
+    """Yield raw record payloads from a TFRecord file (native C++ scan
+    when built; pure-Python fallback)."""
+    from .. import native
+
+    if native.available():
+        scanned = native.tfrecord_scan(path, check_crc=check_crc)
+        if scanned is not None:
+            offsets, lengths = scanned
+            with open(path, "rb") as f:
+                data = f.read()
+            for off, ln in zip(offsets, lengths):
+                yield data[off : off + ln]
+            return
     with open(path, "rb") as f:
         while True:
             header = f.read(8)

@@ -1,0 +1,99 @@
+"""Fast inference path: full forward with block-sparse Pallas message
+passing (see ops/blocksparse.py for the design rationale).
+
+Usage:
+    struct = precompute_structure(graph)          # host, per frame
+    peaks = apply_blocksparse(params, cfg, graph, struct)
+
+Numerics match models.gnn.apply in f32 (same sums, block-reordered);
+``compute_dtype='bfloat16'`` trades <1e-2 relative error for ~2x MP
+throughput.
+"""
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import ModelConfig
+from ..graph import Graph
+from ..ops.activations import get_activation
+from ..ops.blocksparse import (
+    BlockStructure,
+    block_structure,
+    build_block_adjacency_pallas,
+    mp_blocksparse,
+    mp_blocksparse_xla,
+)
+from ..ops.rbf import rbf_expand
+from .gnn import _dense
+
+
+def precompute_structure(graph: Graph, block_size: int = 128) -> BlockStructure:
+    """Host-side sparsity pattern for a frame (reusable across layers and
+    repeated forwards with the same neighbor lists)."""
+    return block_structure(
+        np.asarray(graph.nlist), np.asarray(graph.edges), block_size
+    )
+
+
+def apply_blocksparse(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    struct: BlockStructure,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Forward pass (inference mode) with block-sparse MP. Returns
+    peaks f32[N] for the unpadded atoms."""
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    fc_act = get_activation(config.fc_activation)
+
+    edge_mask = (edges > 0).astype(jnp.float32)[..., None]
+    e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
+    e = e * edge_mask
+    for i, p in enumerate(params["edge_fc"]):
+        last = i == len(params["edge_fc"]) - 1
+        e = _dense(p, e, None if last else fc_act)
+    e = e * edge_mask  # [N, K, E]
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    if use_pallas:
+        A = build_block_adjacency_pallas(
+            nlist, e, struct, out_dtype=compute_dtype, interpret=interpret
+        )
+    else:
+        from ..ops.blocksparse import build_block_adjacency
+
+        A = build_block_adjacency(nlist, e.astype(compute_dtype), struct)
+
+    pad = struct.n_padded - n
+    nodes = _dense(params["embed"], atoms).astype(compute_dtype)
+    nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+    inv_p = jnp.pad(inv_degree, ((0, pad),))
+
+    for p in params["mp"]:
+        w = p["w"].astype(compute_dtype)
+        if use_pallas:
+            nodes = mp_blocksparse(
+                A, struct, nodes, w, inv_p, config.mp_activation, interpret=interpret
+            )
+        else:
+            nodes = mp_blocksparse_xla(
+                A, struct, nodes, w, inv_p, config.mp_activation
+            )
+
+    nodes = nodes[:n].astype(jnp.float32)
+    for p in params["fc"][:-1]:
+        nodes = _dense(p, nodes, fc_act) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act)
+    full_peaks = _dense(params["out"], nodes)
+    peaks = jnp.sum(
+        full_peaks * atoms * params["peak_std"] + atoms * params["peak_avg"],
+        axis=-1,
+    )
+    return peaks

@@ -1,0 +1,391 @@
+"""Block-sparse adjacency message passing — the TPU fast path.
+
+TPU-first redesign of the reference's per-layer gather+einsum hot loop
+(reference: layers.py:33-40). Key observations:
+
+ 1. An HBM gather of neighbor features re-reads N*K*F bytes per MP
+    layer and defeats MXU tiling (K=16 is not lane-aligned).
+ 2. (nlist, edge features) are layer-invariant: the message-passing
+    operator is a fixed sparse matrix A_n[i, j] = sum_slots e[i,s,n]
+    * [nlist[i,s]==j] applied to changing node features.
+ 3. Protein graphs in PDB atom order are strongly block-banded: at
+    128x128 blocks only ~3-5 column blocks per row block are active on
+    real structures (measured on 108M/7lgi).
+
+So: build the block-sparse A **once per forward**, then every MP layer
+streams the flat active-(row,col)-block pair list through a Pallas
+kernel — A_blk @ nodes_blk accumulation per pair on the MXU, and on each
+row's last pair the dense [B,F]x[F,F,E] W-contraction fused with
+inv_degree scaling, activation, and the residual add. The pair list,
+sorted by row block, is scalar-prefetched so block fetches are
+dynamically indexed; padding pairs carry zero A values.
+
+Numerics match the gather path exactly in f32 (same sums, reordered).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+class BlockStructure(NamedTuple):
+    """Per-structure sparsity pattern (host-computed; depends only on the
+    neighbor lists, so it is shared by all MP layers of a forward and by
+    repeated forwards over the same frame)."""
+
+    pair_rows: np.ndarray  # i32[P] row-block id per active pair (sorted)
+    pair_cols: np.ndarray  # i32[P] col-block id per active pair
+    pair_valid: np.ndarray  # i32[P] 1 for real pairs, 0 for padding
+    edge_pair: np.ndarray  # i32[N, K] active-pair index of each edge slot
+    block_size: int
+    n_padded: int
+
+    @property
+    def nb(self) -> int:
+        return self.n_padded // self.block_size
+
+    @property
+    def n_pairs(self) -> int:
+        return self.pair_rows.shape[0]
+
+
+def _round_up(x: int, m: int) -> int:
+    return ((x + m - 1) // m) * m
+
+
+def _bucket(x: int, buckets=(8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)) -> int:
+    for b in buckets:
+        if x <= b:
+            return b
+    return _round_up(x, 512)
+
+
+def block_structure(
+    nlist: np.ndarray,
+    edges: np.ndarray,
+    block_size: int = 128,
+) -> BlockStructure:
+    """Compute the active (row-block, col-block) pair list on host.
+
+    Only real edges (distance > 0) define the pattern. Every row block
+    gets at least one pair (so the kernel always finalizes each output
+    block), and the pair count is bucketed with zero-valued padding
+    pairs appended to the last row block.
+    """
+    nlist = np.asarray(nlist)
+    edges = np.asarray(edges)
+    n, k = nlist.shape
+    n_pad = _round_up(n, block_size)
+    nb = n_pad // block_size
+    ib = np.broadcast_to(np.arange(n)[:, None] // block_size, nlist.shape)
+    jb = nlist // block_size
+    real = edges > 0
+    # unique (row, col) pairs among real edges + a guaranteed pair per row
+    key = ib.astype(np.int64) * nb + jb.astype(np.int64)
+    uniq = np.unique(key[real]) if real.any() else np.empty(0, np.int64)
+    guaranteed = np.arange(nb, dtype=np.int64) * nb  # (r, 0) for every row
+    uniq = np.unique(np.concatenate([uniq, guaranteed]))
+    rows = (uniq // nb).astype(np.int32)
+    cols = (uniq % nb).astype(np.int32)
+    # sorted by row (np.unique sorts keys => row-major order)
+    p = rows.shape[0]
+    p_pad = _bucket(p)
+    pair_rows = np.full(p_pad, nb - 1, np.int32)
+    pair_cols = np.zeros(p_pad, np.int32)
+    pair_valid = np.zeros(p_pad, np.int32)
+    pair_rows[:p] = rows
+    pair_cols[:p] = cols
+    pair_valid[:p] = 1
+    # map each edge slot -> pair index (padding edges -> pair 0, value 0)
+    edge_key = ib.astype(np.int64) * nb + jb.astype(np.int64)
+    idx = np.searchsorted(uniq, edge_key.ravel())
+    idx = np.clip(idx, 0, p - 1)
+    found = uniq[idx] == edge_key.ravel()
+    edge_pair = np.where(found, idx, 0).astype(np.int32).reshape(n, k)
+    return BlockStructure(
+        pair_rows=pair_rows,
+        pair_cols=pair_cols,
+        pair_valid=pair_valid,
+        edge_pair=edge_pair,
+        block_size=block_size,
+        n_padded=n_pad,
+    )
+
+
+def build_block_adjacency(
+    nlist: jnp.ndarray,       # i32[N, K]
+    edge_feats: jnp.ndarray,  # f32[N, K, E] (EdgeFC output; 0 on padding)
+    struct: BlockStructure,
+) -> jnp.ndarray:
+    """A f32[P, E, B, B]: values of the active adjacency blocks. One
+    scatter-add per forward; zero-valued (padding) edges scatter 0."""
+    B = struct.block_size
+    n, k = nlist.shape
+    e = edge_feats.shape[-1]
+    p_all = struct.n_pairs
+
+    i = jnp.arange(n)[:, None] * jnp.ones((1, k), jnp.int32)
+    prow = (i % B).astype(jnp.int32)
+    q = (nlist % B).astype(jnp.int32)
+    pair = jnp.asarray(struct.edge_pair)
+
+    flat_rows = (pair * B + prow).reshape(-1)
+    flat_cols = q.reshape(-1)
+    vals = edge_feats.reshape(-1, e)
+
+    A = jnp.zeros((p_all * B, B, e), edge_feats.dtype)
+    A = A.at[flat_rows, flat_cols].add(vals)
+    return jnp.moveaxis(A.reshape(p_all, B, B, e), -1, 1)  # [P, E, B, B]
+
+
+# ---------------------------------------------------------------------------
+# Pallas A-build kernel: XLA's scatter-add serializes badly on TPU (~2 ms
+# for 40k edges), so the adjacency blocks are built by a compare+FMA
+# kernel instead: for each active pair, mask[p, q] = (nlist[row*B+p, k]
+# == col*B+q) accumulated with the edge weights — pure VPU work.
+
+
+def _build_adj_kernel(
+    pair_rows_ref,  # i32[P] scalar prefetch
+    pair_cols_ref,  # i32[P] scalar prefetch
+    pair_valid_ref,  # i32[P] scalar prefetch (0 for padding pairs)
+    nlist_ref,      # [B, K] i32 row block (dynamic via pair_rows)
+    e_ref,          # [E, B, K] edge features row block (dynamic)
+    a_ref,          # out [1, E, B, B]
+    *,
+    n_edge_channels: int,
+    neighbor_k: int,
+    block_size: int,
+):
+    t = pl.program_id(0)
+    col0 = pair_cols_ref[t] * block_size
+    # padding pairs may duplicate a real (row, col); their A must be zero
+    # or the MP kernel would double-count the block
+    valid = pair_valid_ref[t].astype(jnp.float32)
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, block_size), 1) + col0
+    for n in range(n_edge_channels):
+        acc = jnp.zeros((block_size, block_size), jnp.float32)
+        for k in range(neighbor_k):
+            mask = (nlist_ref[:, k : k + 1] == lane).astype(jnp.float32)
+            acc += mask * e_ref[n, :, k : k + 1].astype(jnp.float32)
+        a_ref[0, n] = (acc * valid).astype(a_ref.dtype)
+
+
+def build_block_adjacency_pallas(
+    nlist: jnp.ndarray,       # i32[N, K]
+    edge_feats: jnp.ndarray,  # f32[N, K, E]
+    struct: BlockStructure,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """A[P, E, B, B] via the compare+FMA Pallas kernel (TPU fast path)."""
+    B = struct.block_size
+    n, k = nlist.shape
+    e = edge_feats.shape[-1]
+    pad = struct.n_padded - n
+    nlist_p = jnp.pad(nlist.astype(jnp.int32), ((0, pad), (0, 0)), constant_values=-1)
+    e_t = jnp.moveaxis(
+        jnp.pad(edge_feats, ((0, pad), (0, 0), (0, 0))), -1, 0
+    )  # [E, N_pad, K]
+
+    kernel = functools.partial(
+        _build_adj_kernel,
+        n_edge_channels=e,
+        neighbor_k=k,
+        block_size=B,
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(struct.n_pairs,),
+        in_specs=[
+            pl.BlockSpec(
+                (B, k), lambda t, rows, cols, valid: (rows[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (e, B, k), lambda t, rows, cols, valid: (0, rows[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e, B, B), lambda t, rows, cols, valid: (t, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((struct.n_pairs, e, B, B), out_dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(struct.pair_rows),
+        jnp.asarray(struct.pair_cols),
+        jnp.asarray(struct.pair_valid),
+        nlist_p,
+        e_t,
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pallas kernel: stream active pairs; finalize each row block on its last
+# pair with the W contraction + inv_degree + activation + residual.
+
+
+def _mp_bs_kernel(
+    pair_rows_ref,    # i32[P] (scalar prefetch, SMEM)
+    pair_cols_ref,    # i32[P] (scalar prefetch, SMEM)
+    a_ref,            # [1, E, B, B] current pair's adjacency block
+    nodes_ref,        # [B, F] column node block (dynamic via pair_cols)
+    w_ref,            # [E, F, F]
+    inv_ref,          # [B, 1] row-block inv_degree (dynamic via pair_rows)
+    res_ref,          # [B, F] row-block residual nodes
+    out_ref,          # [B, F] row output block
+    h_acc,            # [E, B, F] f32 scratch
+    *,
+    n_edge_channels: int,
+    activation,
+):
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    row = pair_rows_ref[t]
+    prev_row = pair_rows_ref[jnp.maximum(t - 1, 0)]
+    next_row = pair_rows_ref[jnp.minimum(t + 1, n_t - 1)]
+    is_first = jnp.logical_or(t == 0, prev_row != row)
+    is_last = jnp.logical_or(t == n_t - 1, next_row != row)
+
+    @pl.when(is_first)
+    def _init():
+        h_acc[...] = jnp.zeros_like(h_acc)
+
+    for n in range(n_edge_channels):
+        h_acc[n] += jnp.dot(
+            a_ref[0, n], nodes_ref[...], preferred_element_type=jnp.float32
+        )
+
+    @pl.when(is_last)
+    def _finalize():
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        for n in range(n_edge_channels):
+            acc += jnp.dot(h_acc[n], w_ref[n], preferred_element_type=jnp.float32)
+        acc = acc * inv_ref[...]
+        out_ref[...] = (activation(acc) + res_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("activation_name", "interpret")
+)
+def _mp_blocksparse_call(
+    A, pair_rows, pair_cols, nodes, w_t, inv_rows, activation_name, interpret
+):
+    from .activations import get_activation
+
+    P, E, B, _ = A.shape
+    F = nodes.shape[-1]
+    nb = nodes.shape[0] // B
+    activation = get_activation(activation_name)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, E, B, B), lambda t, rows, cols: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, F), lambda t, rows, cols: (cols[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (E, F, F), lambda t, rows, cols: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, 1), lambda t, rows, cols: (rows[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, F), lambda t, rows, cols: (rows[t], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, F), lambda t, rows, cols: (rows[t], 0), memory_space=pltpu.VMEM
+        ),
+        scratch_shapes=[pltpu.VMEM((E, B, F), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _mp_bs_kernel, n_edge_channels=E, activation=activation
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * B, F), nodes.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * P * E * B * B * F + 2 * nb * E * B * F * F,
+            bytes_accessed=A.size * A.dtype.itemsize
+            + P * B * F * 4
+            + nb * B * F * 8,
+            transcendentals=nb * B * F,
+        ),
+    )(pair_rows, pair_cols, A, nodes, w_t, inv_rows, nodes)
+
+
+def mp_blocksparse(
+    A: jnp.ndarray,            # [P, E, B, B] from build_block_adjacency
+    struct: BlockStructure,
+    nodes: jnp.ndarray,        # f32[N_pad, F] (padded to struct.n_padded)
+    w: jnp.ndarray,            # f32[F, F, E]
+    inv_degree: jnp.ndarray,   # f32[N_pad]
+    activation_name: str = "softplus",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One MP layer (activation(aggregate) + residual) via the
+    block-sparse Pallas kernel."""
+    B = struct.block_size
+    w_t = jnp.moveaxis(w, -1, 0)  # [E, F, F]
+    inv_rows = inv_degree.reshape(struct.nb * B, 1)
+    return _mp_blocksparse_call(
+        A,
+        jnp.asarray(struct.pair_rows),
+        jnp.asarray(struct.pair_cols),
+        nodes,
+        w_t,
+        inv_rows,
+        activation_name,
+        interpret,
+    )
+
+
+def mp_blocksparse_xla(
+    A: jnp.ndarray,
+    struct: BlockStructure,
+    nodes: jnp.ndarray,
+    w: jnp.ndarray,
+    inv_degree: jnp.ndarray,
+    activation_name: str = "softplus",
+) -> jnp.ndarray:
+    """Pure-XLA reference of the same block-sparse math (correctness
+    oracle for the Pallas kernel; also the CPU path)."""
+    from .activations import get_activation
+
+    B = struct.block_size
+    nb = struct.nb
+    F = nodes.shape[-1]
+    act = get_activation(activation_name)
+    rows = jnp.asarray(struct.pair_rows)
+    cols = jnp.asarray(struct.pair_cols)
+    nodes_blocks = nodes.reshape(nb, B, F)
+    col_feats = jnp.take(nodes_blocks, cols, axis=0)          # [P, B, F]
+    hp = jnp.einsum("pebq,pqf->pebf", A, col_feats)           # [P, E, B, F]
+    h = jax.ops.segment_sum(hp, rows, num_segments=nb)        # [nb, E, B, F]
+    out = jnp.einsum("iebf,efm->ibm", h, jnp.moveaxis(w, -1, 0))
+    out = out * inv_degree.reshape(nb, B)[..., None]
+    return (act(out) + nodes_blocks).reshape(nb * B, F)
