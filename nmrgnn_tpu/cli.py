@@ -200,7 +200,10 @@ def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_si
 @click.option("--stride", default=1, help="trajectory frame stride")
 @click.option("--device-graph/--host-graph", default=False,
               help="build neighbor lists on-device (TPU) instead of host")
-def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride, device_graph):
+@click.option("--fast/--no-fast", default=False,
+              help="serve via the RCM-reordered block-sparse Pallas path")
+def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
+                device_graph, fast):
     """Predict chemical shifts for structure file(s)
     (reference main.py:192-278). Writes per-atom CSV with confidence."""
     import pandas as pd
@@ -229,6 +232,11 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride, d
     atoms_pad = np.pad(atoms_np, ((0, pad_n - n), (0, 0)))
 
     fwd = jax.jit(lambda p, g: gnn.apply(p, cfg, g))
+    serving = None
+    if fast:
+        from .models.serving import ServingModel
+
+        serving = ServingModel(params, cfg)
 
     frames = range(0, struct.n_frames, stride)
     timing = {"graph": 0, "inference": 0, "output": 0, "read": parse_ns}
@@ -237,7 +245,16 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride, d
     click.echo(f"Running on {backend} ({len(frames)} frame(s), {n} atoms)")
     for i in frames:
         t = time.time_ns()
-        if device_graph:
+        if serving is not None:
+            from .data.parse import structure2graph
+
+            g_np = structure2graph(struct, neighbor_number, frame=i)
+            timing["graph"] += time.time_ns() - t
+            t = time.time_ns()
+            peaks = serving.predict(g_np)
+            timing["inference"] += time.time_ns() - t
+            t = time.time_ns()
+        elif device_graph:
             coords = jnp.asarray(
                 np.pad(struct.coords[i], ((0, pad_n - n), (0, 0)))
             )
@@ -256,11 +273,12 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride, d
                 jnp.asarray(np.pad(edges_np, ((0, pad_n - n), (0, 0)))),
                 jnp.asarray(np.pad(inv_degree_np(nlist_np), ((0, pad_n - n),))),
             )
-        timing["graph"] += time.time_ns() - t
-        t = time.time_ns()
-        peaks = np.asarray(fwd(params, g))[:n]
-        timing["inference"] += time.time_ns() - t
-        t = time.time_ns()
+        if serving is None:
+            timing["graph"] += time.time_ns() - t
+            t = time.time_ns()
+            peaks = np.asarray(fwd(params, g))[:n]
+            timing["inference"] += time.time_ns() - t
+            t = time.time_ns()
         try:
             confident = check_peaks(atoms_np, peaks)
         except Warning as wrn:

@@ -50,6 +50,12 @@ class ModelConfig:
     #   "gather"      — jnp.take + einsum (XLA; reference semantics)
     #   "blocksparse" — Pallas block-sparse adjacency SpMM (TPU fast path)
     mp_impl: str = "gather"
+    # Message-passing operator family:
+    #   "bilinear"  — MPLayer (reference layers.py:5-46; the shipped model)
+    #   "attention" — AMPLayer softmax attention over the K neighbor slots
+    #                 (reference layers.py:48-100; present but unused there,
+    #                 and with a latent bug C7 — implemented cleanly here)
+    mp_type: str = "bilinear"
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

@@ -34,7 +34,7 @@ import numpy as np
 from ..config import ModelConfig
 from ..graph import Graph
 from ..ops.activations import get_activation
-from ..ops.message_passing import mp_layer
+from ..ops.message_passing import amp_layer, mp_layer
 from ..ops.rbf import rbf_expand
 
 Params = Dict[str, Any]
@@ -87,10 +87,22 @@ def init_params(
         d_in = H
     edge_fc.append(_dense_init(keys[next(ki)], d_in, E))
 
-    mp = [
-        {"w": _glorot(keys[next(ki)], (F, F, E), F, F)}
-        for _ in range(config.mp_layers)
-    ]
+    if config.mp_type == "attention":
+        mp = []
+        for _ in range(config.mp_layers):
+            k = jax.random.split(keys[next(ki)], 3)
+            mp.append(
+                {
+                    "wq": _glorot(k[0], (F, E), F, E),
+                    "wk": _glorot(k[1], (E, E), E, E),
+                    "wv": _glorot(k[2], (F, F), F, F),
+                }
+            )
+    else:
+        mp = [
+            {"w": _glorot(keys[next(ki)], (F, F, E), F, F)}
+            for _ in range(config.mp_layers)
+        ]
 
     fc = []
     for _ in range(n_fc - 1):
@@ -164,13 +176,16 @@ def apply(
 
     compute_dtype = jnp.dtype(config.compute_dtype)
     for p in params["mp"]:
-        nodes = (
-            mp_layer(
+        if config.mp_type == "attention":
+            upd = amp_layer(
+                p["wq"], p["wk"], p["wv"], nodes, nlist, e, inv_degree, mp_act
+            )
+        else:
+            upd = mp_layer(
                 p["w"], nodes, nlist, e, inv_degree, mp_act,
                 compute_dtype=compute_dtype,
             )
-            + nodes
-        )
+        nodes = upd + nodes
 
     for p in params["fc"][:-1]:
         nodes = _dense(p, nodes, fc_act) + nodes

@@ -70,6 +70,7 @@ def block_structure(
     nlist: np.ndarray,
     edges: np.ndarray,
     block_size: int = 128,
+    pair_rounding: int = 0,
 ) -> BlockStructure:
     """Compute the active (row-block, col-block) pair list on host.
 
@@ -95,7 +96,11 @@ def block_structure(
     cols = (uniq % nb).astype(np.int32)
     # sorted by row (np.unique sorts keys => row-major order)
     p = rows.shape[0]
-    p_pad = _bucket(p)
+    # pair_rounding=0: coarse power buckets (few jit specializations,
+    # good for heterogeneous inputs). pair_rounding=m: round up to a
+    # multiple of m (m=1 exact) — tight padding with shapes stable
+    # across trajectory frames of the same structure.
+    p_pad = _bucket(p) if pair_rounding <= 0 else _round_up(p, pair_rounding)
     pair_rows = np.full(p_pad, nb - 1, np.int32)
     pair_cols = np.zeros(p_pad, np.int32)
     pair_valid = np.zeros(p_pad, np.int32)

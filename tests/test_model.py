@@ -202,6 +202,20 @@ class TestModel:
             rtol=1e-5, atol=1e-5,
         )
 
+    def test_attention_model_family(self):
+        """AMP variant (reference layers.py:48-100, unused there) trains
+        and runs as a first-class model family here."""
+        cfg = self.cfg.replace(mp_type="attention")
+        g = ring_graph(5, 2, 10)
+        params = init_params(jax.random.PRNGKey(0), cfg)
+        assert "wq" in params["mp"][0] and "wv" in params["mp"][0]
+        peaks = apply(params, cfg, g)
+        assert peaks.shape == (5,)
+        # differentiable end-to-end
+        grads = jax.grad(lambda p: jnp.sum(apply(p, cfg, g) ** 2))(params)
+        gq = np.asarray(grads["mp"][0]["wq"])
+        assert np.isfinite(gq).all() and np.abs(gq).sum() > 0
+
     def test_isolated_atom_zero_message(self):
         """inv_degree==0 (divide_no_nan semantics, quirk C2): isolated atoms
         receive zero messages but still get embeddings/readout."""
