@@ -12,7 +12,18 @@ Built from scratch with the capabilities of ur-whitelab/nmrgnn
 """
 from .config import ModelConfig, TrainConfig
 from .graph import Graph, inv_degree_from_nlist, pad_graph, ring_graph
+from .library import (
+    check_peaks,
+    load_baseline,
+    load_data,
+    load_model,
+    save_model,
+    setup_optimizations,
+    universe2graph,
+)
 from .models.gnn import apply, apply_batched, count_params, init_params
+from .train.losses import name_loss
+from .train.metrics import name_corr, name_count, name_rmsd, type_mask
 from .version import __version__
 
 __all__ = [
@@ -22,9 +33,21 @@ __all__ = [
     "inv_degree_from_nlist",
     "pad_graph",
     "ring_graph",
+    "check_peaks",
+    "load_baseline",
+    "load_data",
+    "load_model",
+    "save_model",
+    "setup_optimizations",
+    "universe2graph",
     "apply",
     "apply_batched",
     "count_params",
     "init_params",
+    "name_loss",
+    "name_corr",
+    "name_count",
+    "name_rmsd",
+    "type_mask",
     "__version__",
 ]

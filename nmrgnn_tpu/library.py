@@ -21,6 +21,36 @@ from .models import gnn
 BASELINE_DIR = os.path.join(os.path.dirname(__file__), "models", "baseline")
 
 
+def setup_optimizations(debug_nans: bool = False, enable_x64: bool = False) -> None:
+    """Runtime-optimization toggles (reference: library.py:12-19 turns on
+    TF XLA jit; under JAX everything is jit-compiled already). Exposes
+    the numerics-checking mode the reference left commented out
+    (library.py:13) as the debug_nans flag."""
+    import jax
+
+    if debug_nans:
+        jax.config.update("jax_debug_nans", True)
+    if enable_x64:
+        jax.config.update("jax_enable_x64", True)
+
+
+def load_baseline() -> str:
+    """Path of the bundled pretrained model directory (reference:
+    library.py:22-27)."""
+    return BASELINE_DIR
+
+
+def load_data(tfrecords, validation: float, embeddings=None, scale: bool = False):
+    """(train_samples, validation_samples) with the reference's per-file
+    take/skip split semantics (reference: library.py:50-89). ``scale`` is
+    accepted for API parity; the reference's scaling branch is dead code
+    (quirk C5) and labels are already in real ppm units."""
+    from .data.dataset import split_dataset
+
+    train, val = split_dataset(list(tfrecords), validation)
+    return train, val
+
+
 def save_model(path: str, params, config: ModelConfig) -> None:
     """Serialize params (flax msgpack) + config (JSON sidecar).
 
