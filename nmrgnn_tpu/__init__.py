@@ -10,6 +10,15 @@ Built from scratch with the capabilities of ur-whitelab/nmrgnn
   * native data layer (embeddings, peak standards, PDB parsing, neighbor
     search, TFRecord IO) replacing the external nmrdata package
 """
+import os as _os
+
+if _os.environ.get("NMRGNN_TPU_FORCE_CPU"):
+    # some environments pre-register an accelerator PJRT plugin via
+    # sitecustomize and pin JAX_PLATFORMS; honor an explicit CPU override
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from .config import ModelConfig, TrainConfig
 from .graph import Graph, inv_degree_from_nlist, pad_graph, ring_graph
 from .library import (

@@ -47,8 +47,13 @@ def _jax():
 @click.option("--pad-to", default=256)
 @click.option("--config", "config_path", default=None, type=click.Path(exists=True),
               help="ModelConfig JSON (defaults to the baseline hyperparameters)")
+@click.option("--data-parallel", default=0,
+              help="shard batches over N devices (0 = single device)")
+@click.option("--tensor-parallel/--no-tensor-parallel", default=False,
+              help="also shard MP/FC kernels over the remaining devices")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
-          tensorboard, load, loss_balance, batch_size, pad_to, config_path):
+          tensorboard, load, loss_balance, batch_size, pad_to, config_path,
+          data_parallel, tensor_parallel):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -72,7 +77,17 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
     click.echo(f"train={len(train_s)} val={len(val_s)} fragments")
 
-    trainer = Trainer(cfg, tcfg, emb)
+    mesh = None
+    if data_parallel:
+        from .parallel import make_mesh
+
+        import jax
+
+        n = len(jax.devices())
+        mesh = make_mesh(data=data_parallel, graph=max(1, n // data_parallel)
+                         if tensor_parallel else 1)
+        click.echo(f"mesh: {dict(mesh.shape)}")
+    trainer = Trainer(cfg, tcfg, emb, mesh=mesh, tensor_parallel=tensor_parallel)
     state = trainer.load_checkpoint(checkpoint_path) if load else trainer.init_state()
 
     callbacks = []

@@ -118,12 +118,21 @@ class Trainer:
         config: Optional[ModelConfig] = None,
         train_config: Optional[TrainConfig] = None,
         embeddings: Optional[dict] = None,
+        mesh=None,
+        tensor_parallel: bool = False,
     ):
+        """``mesh`` (a jax.sharding.Mesh with a 'data' axis, e.g. from
+        parallel.make_mesh) enables data-parallel training: batches shard
+        over 'data', gradients all-reduce automatically; with
+        ``tensor_parallel`` the MP/FC kernels also shard over 'graph'.
+        The reference trains strictly single-device (SURVEY.md §2.3)."""
         self.config = config or ModelConfig()
         self.tcfg = train_config or TrainConfig()
         self.embeddings = embeddings or load_embeddings()
         self.loss_idx = tuple(type_mask(r".*", self.embeddings, regex=True))
         self.metric_specs = metric_kinds()
+        self.mesh = mesh
+        self.tensor_parallel = tensor_parallel
         self._tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.config.learning_rate
         )
@@ -259,6 +268,24 @@ class Trainer:
         epochs = epochs or self.tcfg.epochs
         state = state or self.init_state()
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
+        if self.mesh is not None:
+            from ..parallel.sharding import shard_params
+
+            if self.tcfg.batch_size % self.mesh.shape["data"]:
+                raise ValueError(
+                    f"batch_size {self.tcfg.batch_size} not divisible by "
+                    f"data axis {self.mesh.shape['data']}"
+                )
+            state.params = shard_params(state.params, self.mesh, self.tensor_parallel)
+            state.opt_state = jax.tree_util.tree_map(
+                lambda x: jax.device_put(
+                    x,
+                    jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+                )
+                if hasattr(x, "shape")
+                else x,
+                state.opt_state,
+            )
         loader = FragmentLoader(
             train_samples,
             pad_to=self.tcfg.pad_to,
@@ -271,13 +298,15 @@ class Trainer:
             epoch_loss, nb = 0.0, 0
             for g, y, w in loader.batches():
                 rng, srng = jax.random.split(rng)
+                if self.mesh is not None:
+                    from ..parallel.sharding import shard_batch
+
+                    gj, yj, wj = shard_batch(self.mesh, g, y, w)
+                else:
+                    gj = Graph(*[jnp.asarray(a) for a in g])
+                    yj, wj = jnp.asarray(y), jnp.asarray(w)
                 state.params, state.opt_state, loss = self.train_step(
-                    state.params,
-                    state.opt_state,
-                    Graph(*[jnp.asarray(a) for a in g]),
-                    jnp.asarray(y),
-                    jnp.asarray(w),
-                    srng,
+                    state.params, state.opt_state, gj, yj, wj, srng
                 )
                 epoch_loss += float(loss)
                 nb += 1
