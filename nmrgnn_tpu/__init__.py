@@ -22,6 +22,7 @@ if _os.environ.get("NMRGNN_TPU_FORCE_CPU"):
 from .config import ModelConfig, TrainConfig
 from .graph import Graph, inv_degree_from_nlist, pad_graph, ring_graph
 from .library import (
+    build_GNNModel,
     check_peaks,
     load_baseline,
     load_data,
@@ -42,6 +43,7 @@ __all__ = [
     "inv_degree_from_nlist",
     "pad_graph",
     "ring_graph",
+    "build_GNNModel",
     "check_peaks",
     "load_baseline",
     "load_data",

@@ -40,6 +40,31 @@ def load_baseline() -> str:
     return BASELINE_DIR
 
 
+def build_GNNModel(
+    config: Optional[ModelConfig] = None,
+    metrics: bool = True,
+    loss_balance: float = 1.0,
+    rng=None,
+):
+    """(params, Trainer) — migration-friendly equivalent of the reference
+    model factory (reference: model.py:12-105): initialized parameters
+    plus a Trainer wired with Adam, NameLoss(loss_balance) and the
+    standard 15-metric suite."""
+    import jax
+
+    from .config import TrainConfig
+    from .train.trainer import Trainer
+
+    config = config or ModelConfig()
+    trainer = Trainer(config, TrainConfig(loss_balance=loss_balance))
+    if rng is None:
+        rng = jax.random.PRNGKey(0)
+    from .models import gnn
+
+    params = gnn.init_params(rng, config, load_standards())
+    return params, trainer
+
+
 def load_data(tfrecords, validation: float, embeddings=None, scale: bool = False):
     """(train_samples, validation_samples) with the reference's per-file
     take/skip split semantics (reference: library.py:50-89). ``scale`` is

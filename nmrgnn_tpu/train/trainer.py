@@ -293,6 +293,11 @@ class Trainer:
             shuffle=True,
             seed=self.tcfg.seed,
         )
+        # in-memory epoch snapshot for NaN recovery (failure-detection
+        # subsystem; the reference's only recovery is manual --load,
+        # reference main.py:50-51)
+        snapshot = None
+        nan_retries = 0
         for _ in range(epochs):
             self._set_lr(state)
             epoch_loss, nb = 0.0, 0
@@ -310,6 +315,26 @@ class Trainer:
                 )
                 epoch_loss += float(loss)
                 nb += 1
+            if not np.isfinite(epoch_loss):
+                if snapshot is None or nan_retries >= 3:
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {state.epoch + 1}"
+                    )
+                nan_retries += 1
+                state.params, state.opt_state = jax.tree_util.tree_map(
+                    jnp.array, snapshot
+                )
+                state.lr = max(state.lr * 0.5, self.tcfg.min_lr)
+                if verbose:
+                    print(
+                        f"non-finite loss; restored last epoch snapshot, "
+                        f"lr -> {state.lr:g} (retry {nan_retries}/3)",
+                        flush=True,
+                    )
+                continue
+            snapshot = jax.tree_util.tree_map(
+                jnp.array, (state.params, state.opt_state)
+            )
             state.epoch += 1
             logs = {"loss": epoch_loss / max(nb, 1), "lr": state.lr}
             if val_samples:
