@@ -111,6 +111,33 @@ class TestCLI:
         assert set(df.columns) >= {"index", "residues", "resids", "names",
                                    "peaks", "confident", "frame"}
 
+    def test_eval_struct_fast(self, workdir, model_dir):
+        out = str(workdir / "peaks_fast.csv")
+        r = run_cli("eval-struct", PDB_108M, out, "--model-file", model_dir, "--fast")
+        assert r.returncode == 0, r.stderr
+        import pandas as pd
+
+        df = pd.read_csv(out)
+        assert len(df) == 2482
+        # fast path agrees with the plain path
+        slow_csv = workdir / "peaks.csv"
+        if not slow_csv.exists():
+            r2 = run_cli("eval-struct", PDB_108M, str(slow_csv), "--model-file", model_dir)
+            assert r2.returncode == 0, r2.stderr
+        slow = pd.read_csv(str(slow_csv))
+        diff = np.abs(df["peaks"].to_numpy() - slow["peaks"].to_numpy())
+        assert np.percentile(diff, 99) < 0.1
+
+    def test_hyper_tiny(self, workdir, frag_file):
+        r = run_cli(
+            "hyper", frag_file, "1", "--trials", "2",
+            "--tuning_path", str(workdir / "tune"),
+        )
+        assert r.returncode == 0, r.stderr
+        assert (workdir / "tune" / "best_config.json").exists()
+        assert (workdir / "tune" / "results.json").exists()
+        assert (workdir / "tune" / "best_model" / "params.msgpack").exists()
+
     def test_eval_struct_requires_files(self):
         r = run_cli("eval-struct", "out.csv")
         assert r.returncode != 0
