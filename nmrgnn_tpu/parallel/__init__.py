@@ -1,3 +1,4 @@
+from .halo import apply_partitioned_halo, make_halo_plan
 from .mesh import best_factorization, initialize_distributed, make_mesh
 from .partition import apply_partitioned, jit_partitioned_forward, pad_to_multiple
 from .sharding import (
@@ -9,6 +10,8 @@ from .sharding import (
 )
 
 __all__ = [
+    "apply_partitioned_halo",
+    "make_halo_plan",
     "best_factorization",
     "initialize_distributed",
     "make_mesh",

@@ -1,0 +1,73 @@
+"""Halo-exchange partitioned forward: must equal the single-device and
+all-gather-partitioned forwards exactly, with halo volume << full gather."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from nmrgnn_tpu import ModelConfig, apply, init_params
+from nmrgnn_tpu.data.parse import structure2graph
+from nmrgnn_tpu.data.reorder import permute_graph, rcm_order
+from nmrgnn_tpu.graph import Graph
+from nmrgnn_tpu.parallel import make_mesh, pad_to_multiple
+from nmrgnn_tpu.parallel.halo import apply_partitioned_halo, make_halo_plan
+
+PDB_108M = "/root/reference/tests/108M.pdb"
+
+CFG = ModelConfig(
+    atom_feature_size=32, edge_hidden_size=16, mp_layers=2,
+    fc_layers=3, edge_fc_layers=3, dropout=False, noise=0.0,
+)
+
+
+def to_jnp(g):
+    return Graph(*[jnp.asarray(a) for a in g])
+
+
+@pytest.fixture(scope="module")
+def graph_rcm():
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g2, inv = permute_graph(g, order)
+    return g2, inv
+
+
+class TestHaloPlan:
+    def test_plan_shapes_and_slots(self, graph_rcm):
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), 4 * 128)
+        plan = make_halo_plan(np.asarray(gp.nlist), 4)
+        assert plan.local_nlist.shape == (4, plan.rows_per_shard, 16)
+        # all workspace references in range
+        assert plan.local_nlist.max() < plan.workspace_rows
+        # RCM keeps halos small relative to a full gather
+        n = gp.atoms.shape[0]
+        assert plan.n_shards * plan.halo_size < n / 2
+
+    def test_plan_rejects_indivisible(self):
+        with pytest.raises(ValueError):
+            make_halo_plan(np.zeros((10, 2), np.int64), 4)
+
+
+class TestHaloForward:
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_matches_single_device(self, graph_rcm, n_shards):
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), n_shards * 128)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        plan = make_halo_plan(np.asarray(gp.nlist), n_shards)
+        mesh = make_mesh(data=8 // n_shards, graph=n_shards)
+        want = np.asarray(apply(params, CFG, gp))
+        got = np.asarray(apply_partitioned_halo(params, CFG, gp, plan, mesh))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_jit_compiles(self, graph_rcm):
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), 4 * 128)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        plan = make_halo_plan(np.asarray(gp.nlist), 4)
+        mesh = make_mesh(data=2, graph=4)
+        f = jax.jit(lambda p, gg: apply_partitioned_halo(p, CFG, gg, plan, mesh))
+        got = np.asarray(f(params, gp))
+        want = np.asarray(apply(params, CFG, gp))
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
