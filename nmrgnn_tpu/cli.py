@@ -345,6 +345,23 @@ def make_fragments(struct_files, output_tfrecord, fragment_size, neighbor_number
     click.echo(f"Wrote {total} fragments to {output_tfrecord}")
 
 
+@main.command("make-organic")
+@click.argument("output-tfrecord")
+@click.option("--molecules", default=500, help="number of synthetic molecules")
+@click.option("--seed", default=0)
+@click.option("--append/--no-append", default=False)
+def make_organic(output_tfrecord, molecules, seed, append):
+    """Generate a synthetic organic small-molecule TFRecord with MB/DFT
+    name classes (combined protein + organic training; the Mol-* rows of
+    the reference's table come from this data family)."""
+    from .data.organic import write_organic_fragments
+
+    n = write_organic_fragments(
+        output_tfrecord, n_molecules=molecules, seed=seed, append=append
+    )
+    click.echo(f"Wrote {n} molecules to {output_tfrecord}")
+
+
 @main.command()
 @click.argument("tfrecords", nargs=-1, type=click.Path(exists=True))
 @click.argument("epochs", default=3)

@@ -203,8 +203,8 @@ def decode_example(data: bytes) -> Dict[str, FeatureValue]:
 # TFRecord container
 
 class TFRecordWriter:
-    def __init__(self, path: str):
-        self._f = open(path, "wb")
+    def __init__(self, path: str, append: bool = False):
+        self._f = open(path, "ab" if append else "wb")
 
     def write(self, payload: bytes) -> None:
         header = struct.pack("<Q", len(payload))
