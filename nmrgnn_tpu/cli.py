@@ -217,8 +217,10 @@ def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_si
               help="build neighbor lists on-device (TPU) instead of host")
 @click.option("--fast/--no-fast", default=False,
               help="serve via the RCM-reordered block-sparse Pallas path")
+@click.option("--profile", default=None, type=click.Path(),
+              help="capture a jax.profiler trace (XProf) to this directory")
 def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
-                device_graph, fast):
+                device_graph, fast, profile):
     """Predict chemical shifts for structure file(s)
     (reference main.py:192-278). Writes per-atom CSV with confidence."""
     import pandas as pd
@@ -258,6 +260,14 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
     rows = []
     backend = jax.default_backend()
     click.echo(f"Running on {backend} ({len(frames)} frame(s), {n} atoms)")
+    import contextlib
+
+    stack = contextlib.ExitStack()
+    if profile:
+        from .utils.profiling import trace
+
+        stack.enter_context(trace(profile))
+        click.echo(f"profiling to {profile}")
     for i in frames:
         t = time.time_ns()
         if serving is not None:
@@ -317,6 +327,7 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
         click.echo(
             "|".join(f"{k}:{v/1e9:5.2f}s" for k, v in timing.items())
         )
+    stack.close()
     pd.concat(rows).to_csv(output_csv, index=False)
     click.echo(f"Done. Results in {output_csv}")
 

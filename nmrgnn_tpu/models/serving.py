@@ -69,3 +69,13 @@ class ServingModel:
         if self.reorder:
             peaks = peaks[self._inverse]
         return peaks
+
+    def predict_trajectory(self, struct, stride: int = 1, neighbor_number: int = 16):
+        """Iterate frames of a parsed Structure, yielding (frame_index,
+        peaks f32[N]). Reuses the first frame's atom ordering and the
+        compiled kernels across frames."""
+        from ..data.parse import structure2graph
+
+        for i in range(0, struct.n_frames, stride):
+            g = structure2graph(struct, neighbor_number, frame=i)
+            yield i, self.predict(g)
