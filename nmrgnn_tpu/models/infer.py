@@ -31,11 +31,17 @@ from ..ops.rbf import rbf_expand
 from .gnn import _dense
 
 
-def precompute_structure(graph: Graph, block_size: int = 128) -> BlockStructure:
+def precompute_structure(
+    graph: Graph,
+    block_size: int = 128,
+    pair_rounding: int = 0,
+    group: int = 1,
+) -> BlockStructure:
     """Host-side sparsity pattern for a frame (reusable across layers and
     repeated forwards with the same neighbor lists)."""
     return block_structure(
-        np.asarray(graph.nlist), np.asarray(graph.edges), block_size
+        np.asarray(graph.nlist), np.asarray(graph.edges), block_size,
+        pair_rounding=pair_rounding, group=group,
     )
 
 
@@ -46,6 +52,7 @@ def apply_blocksparse(
     struct: BlockStructure,
     interpret: bool = False,
     use_pallas: bool = True,
+    group: int = 1,
 ) -> jnp.ndarray:
     """Forward pass (inference mode) with block-sparse MP. Returns
     peaks f32[N] for the unpadded atoms."""
@@ -80,7 +87,8 @@ def apply_blocksparse(
         w = p["w"].astype(compute_dtype)
         if use_pallas:
             nodes = mp_blocksparse(
-                A, struct, nodes, w, inv_p, config.mp_activation, interpret=interpret
+                A, struct, nodes, w, inv_p, config.mp_activation,
+                interpret=interpret, group=group,
             )
         else:
             nodes = mp_blocksparse_xla(

@@ -32,6 +32,7 @@ class ServingModel:
         reorder: bool = True,
         block_size: int = 128,
         pair_rounding: int = 32,
+        group: int = 4,
         use_pallas: Optional[bool] = None,
     ):
         self.params = params
@@ -39,6 +40,7 @@ class ServingModel:
         self.reorder = reorder
         self.block_size = block_size
         self.pair_rounding = pair_rounding
+        self.group = group
         self.use_pallas = (
             use_pallas
             if use_pallas is not None
@@ -56,14 +58,18 @@ class ServingModel:
                 self._order = rcm_order(g.nlist, g.edges)
             g, self._inverse = permute_graph(g, self._order)
         struct = block_structure(
-            g.nlist, g.edges, self.block_size, pair_rounding=self.pair_rounding
+            g.nlist, g.edges, self.block_size,
+            pair_rounding=self.pair_rounding,
+            group=self.group if self.use_pallas else 1,
         )
         import jax.numpy as jnp
 
         gj = Graph(*[jnp.asarray(a) for a in g])
         peaks = np.asarray(
             apply_blocksparse(
-                self.params, self.config, gj, struct, use_pallas=self.use_pallas
+                self.params, self.config, gj, struct,
+                use_pallas=self.use_pallas,
+                group=self.group if self.use_pallas else 1,
             )
         )
         if self.reorder:

@@ -71,6 +71,7 @@ def block_structure(
     edges: np.ndarray,
     block_size: int = 128,
     pair_rounding: int = 0,
+    group: int = 1,
 ) -> BlockStructure:
     """Compute the active (row-block, col-block) pair list on host.
 
@@ -95,24 +96,47 @@ def block_structure(
     rows = (uniq // nb).astype(np.int32)
     cols = (uniq % nb).astype(np.int32)
     # sorted by row (np.unique sorts keys => row-major order)
+    pos_of_uniq = np.arange(rows.shape[0], dtype=np.int64)
+    grouped_valid = np.ones(rows.shape[0], np.int32)
+    if group > 1:
+        # pad each row's pair run to a multiple of ``group`` with invalid
+        # pairs so multi-pair kernel steps never span two row blocks
+        new_rows, new_cols, valid_parts = [], [], []
+        pos_of_uniq = np.empty(rows.shape[0], np.int64)
+        offset = 0
+        for r in np.unique(rows):
+            sel = np.nonzero(rows == r)[0]
+            cnt = sel.shape[0]
+            pad = (-cnt) % group
+            pos_of_uniq[sel] = offset + np.arange(cnt)
+            offset += cnt + pad
+            new_rows.append(np.full(cnt + pad, r, np.int32))
+            new_cols.append(np.concatenate([cols[sel], np.zeros(pad, np.int32)]))
+            valid_parts.append(
+                np.concatenate([np.ones(cnt, np.int32), np.zeros(pad, np.int32)])
+            )
+        rows = np.concatenate(new_rows)
+        cols = np.concatenate(new_cols)
+        grouped_valid = np.concatenate(valid_parts)
     p = rows.shape[0]
     # pair_rounding=0: coarse power buckets (few jit specializations,
     # good for heterogeneous inputs). pair_rounding=m: round up to a
     # multiple of m (m=1 exact) — tight padding with shapes stable
     # across trajectory frames of the same structure.
     p_pad = _bucket(p) if pair_rounding <= 0 else _round_up(p, pair_rounding)
+    p_pad = _round_up(p_pad, group)
     pair_rows = np.full(p_pad, nb - 1, np.int32)
     pair_cols = np.zeros(p_pad, np.int32)
     pair_valid = np.zeros(p_pad, np.int32)
     pair_rows[:p] = rows
     pair_cols[:p] = cols
-    pair_valid[:p] = 1
+    pair_valid[:p] = grouped_valid
     # map each edge slot -> pair index (padding edges -> pair 0, value 0)
     edge_key = ib.astype(np.int64) * nb + jb.astype(np.int64)
     idx = np.searchsorted(uniq, edge_key.ravel())
-    idx = np.clip(idx, 0, p - 1)
+    idx = np.clip(idx, 0, uniq.shape[0] - 1)
     found = uniq[idx] == edge_key.ravel()
-    edge_pair = np.where(found, idx, 0).astype(np.int32).reshape(n, k)
+    edge_pair = np.where(found, pos_of_uniq[idx], 0).astype(np.int32).reshape(n, k)
     return BlockStructure(
         pair_rows=pair_rows,
         pair_cols=pair_cols,
@@ -282,6 +306,111 @@ def _mp_bs_kernel(
         out_ref[...] = (activation(acc) + res_ref[...]).astype(out_ref.dtype)
 
 
+def _mp_bs_kernel_grouped(
+    pair_rows_ref,
+    pair_cols_ref,
+    *refs,
+    n_edge_channels: int,
+    group: int,
+    activation,
+):
+    """Multi-pair grid step: G pairs of one row block per step, amortizing
+    per-step grid/DMA overhead. refs = (a_ref, nodes_0..nodes_{G-1},
+    w_ref, inv_ref, res_ref, out_ref, h_acc)."""
+    a_ref = refs[0]
+    node_refs = refs[1 : 1 + group]
+    w_ref, inv_ref, res_ref, out_ref, h_acc = refs[1 + group :]
+    t = pl.program_id(0)
+    n_t = pl.num_programs(0)
+    base = t * group
+    row = pair_rows_ref[base]
+    prev_row = pair_rows_ref[jnp.maximum(base - 1, 0)]
+    next_row = pair_rows_ref[jnp.minimum(base + group, n_t * group - 1)]
+    is_first = jnp.logical_or(t == 0, prev_row != row)
+    is_last = jnp.logical_or(t == n_t - 1, next_row != row)
+
+    @pl.when(is_first)
+    def _init():
+        h_acc[...] = jnp.zeros_like(h_acc)
+
+    for i in range(group):
+        for n in range(n_edge_channels):
+            h_acc[n] += jnp.dot(
+                a_ref[i, n], node_refs[i][...], preferred_element_type=jnp.float32
+            )
+
+    @pl.when(is_last)
+    def _finalize():
+        acc = jnp.zeros(out_ref.shape, jnp.float32)
+        for n in range(n_edge_channels):
+            acc += jnp.dot(h_acc[n], w_ref[n], preferred_element_type=jnp.float32)
+        acc = acc * inv_ref[...]
+        out_ref[...] = (activation(acc) + res_ref[...]).astype(out_ref.dtype)
+
+
+@functools.partial(
+    jax.jit, static_argnames=("activation_name", "interpret", "group")
+)
+def _mp_blocksparse_call_grouped(
+    A, pair_rows, pair_cols, nodes, w_t, inv_rows, activation_name, interpret, group
+):
+    from .activations import get_activation
+
+    P, E, B, _ = A.shape
+    F = nodes.shape[-1]
+    nb = nodes.shape[0] // B
+    activation = get_activation(activation_name)
+    assert P % group == 0
+
+    def node_spec(i):
+        return pl.BlockSpec(
+            (B, F),
+            lambda t, rows, cols, i=i: (cols[t * group + i], 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(P // group,),
+        in_specs=[
+            pl.BlockSpec(
+                (group, E, B, B), lambda t, rows, cols: (t, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            *[node_spec(i) for i in range(group)],
+            pl.BlockSpec(
+                (E, F, F), lambda t, rows, cols: (0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, 1), lambda t, rows, cols: (rows[t * group], 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (B, F), lambda t, rows, cols: (rows[t * group], 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (B, F), lambda t, rows, cols: (rows[t * group], 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[pltpu.VMEM((E, B, F), jnp.float32)],
+    )
+    kernel = functools.partial(
+        _mp_bs_kernel_grouped,
+        n_edge_channels=E,
+        group=group,
+        activation=activation,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((nb * B, F), nodes.dtype),
+        interpret=interpret,
+    )(pair_rows, pair_cols, A, *([nodes] * group), w_t, inv_rows, nodes)
+
+
 @functools.partial(
     jax.jit, static_argnames=("activation_name", "interpret")
 )
@@ -351,12 +480,27 @@ def mp_blocksparse(
     inv_degree: jnp.ndarray,   # f32[N_pad]
     activation_name: str = "softplus",
     interpret: bool = False,
+    group: int = 1,
 ) -> jnp.ndarray:
     """One MP layer (activation(aggregate) + residual) via the
-    block-sparse Pallas kernel."""
+    block-sparse Pallas kernel. ``group`` > 1 processes that many pairs
+    per grid step (the structure must have been built with the same
+    ``group`` so steps never span row blocks)."""
     B = struct.block_size
     w_t = jnp.moveaxis(w, -1, 0)  # [E, F, F]
     inv_rows = inv_degree.reshape(struct.nb * B, 1)
+    if group > 1:
+        return _mp_blocksparse_call_grouped(
+            A,
+            jnp.asarray(struct.pair_rows),
+            jnp.asarray(struct.pair_cols),
+            nodes,
+            w_t,
+            inv_rows,
+            activation_name,
+            interpret,
+            group,
+        )
     return _mp_blocksparse_call(
         A,
         jnp.asarray(struct.pair_rows),

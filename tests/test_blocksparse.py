@@ -142,6 +142,45 @@ def test_full_blocksparse_forward_matches_apply():
     np.testing.assert_allclose(got_pl, want, rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("group", [2, 4])
+def test_grouped_kernel_matches(group):
+    """Multi-pair grid steps must reproduce the single-pair kernel."""
+    nlist, dists, efeat, nodes, w, inv = make_case(n=520, k=11, seed=8)
+    struct = block_structure(nlist, dists, block_size=128, group=group)
+    assert struct.n_pairs % group == 0
+    # groups never span row blocks
+    rows = struct.pair_rows.reshape(-1, group)
+    assert np.all(rows == rows[:, :1])
+    pad = struct.n_padded - 520
+    nodes_p = jnp.asarray(np.pad(nodes, ((0, pad), (0, 0))))
+    inv_p = jnp.asarray(np.pad(inv, (0, pad)))
+    A = build_block_adjacency(jnp.asarray(nlist), jnp.asarray(efeat), struct)
+    want = np.asarray(mp_blocksparse_xla(A, struct, nodes_p, jnp.asarray(w), inv_p))
+    got = np.asarray(
+        mp_blocksparse(A, struct, nodes_p, jnp.asarray(w), inv_p,
+                       interpret=True, group=group)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # grouped structure must also match the gather reference end-to-end
+    ref = reference_mp(
+        jnp.asarray(nodes), jnp.asarray(nlist), jnp.asarray(efeat),
+        jnp.asarray(inv), jnp.asarray(w), struct.n_padded,
+    )
+    np.testing.assert_allclose(got[:520], ref, rtol=5e-4, atol=5e-4)
+
+
+def test_grouped_pallas_build_zeroes_padding():
+    nlist, dists, efeat, *_ = make_case(n=300, k=7, seed=9)
+    struct = block_structure(nlist, dists, block_size=128, group=4)
+    from nmrgnn_tpu.ops.blocksparse import build_block_adjacency_pallas
+
+    got = np.asarray(build_block_adjacency_pallas(
+        jnp.asarray(nlist), jnp.asarray(efeat), struct, interpret=True
+    ))
+    want = np.asarray(build_block_adjacency(jnp.asarray(nlist), jnp.asarray(efeat), struct))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
 def test_structure_pair_bucketing():
     nlist = np.zeros((10, 2), np.int32)
     edges = np.ones((10, 2), np.float32)
