@@ -94,6 +94,12 @@ class TrainConfig:
     batch_size: int = 8
     shuffle_buffer: int = 500
     seed: int = 0
+    # Run each epoch as ONE jitted lax.scan over the stacked batches
+    # (single device dispatch + single loss readback per epoch) instead
+    # of per-batch dispatch. Large wall-clock win when dispatch latency
+    # is nontrivial (remote TPU); requires the epoch's batches to fit in
+    # HBM alongside the model (fragments are tiny, so they do).
+    compiled_epochs: bool = True
 
     def to_json(self) -> str:
         return json.dumps(dataclasses.asdict(self), indent=2, sort_keys=True)

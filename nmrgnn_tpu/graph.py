@@ -98,9 +98,14 @@ def atom_mask(g: Graph) -> jnp.ndarray:
     return (jnp.sum(g.atoms, axis=-1) > 0).astype(jnp.float32)
 
 
-def bucket_size(n: int, buckets=(256, 512, 1024, 2048, 4096, 8192, 16384)) -> int:
+def bucket_size(
+    n: int,
+    buckets=(256, 512, 768, 1024, 1536, 2048, 2560, 3072, 4096, 6144, 8192,
+             12288, 16384),
+) -> int:
     """Smallest bucket >= n; limits the number of distinct jit traces for
-    ragged real molecules (SURVEY.md §7 hard part (b))."""
+    ragged real molecules (SURVEY.md §7 hard part (b)) while keeping
+    padding waste under ~30%."""
     for b in buckets:
         if n <= b:
             return b

@@ -167,7 +167,26 @@ class Trainer:
             moments = jnp.stack([_moments(yt, yp, idx) for _, _, idx in specs])
             return loss, moments
 
+        def train_epoch(params, opt_state, graphs, ys, ws, rng):
+            """One jitted scan over an epoch's stacked batches: a single
+            device dispatch and one [steps]-loss readback per epoch."""
+
+            def body(carry, batch):
+                params, opt_state, rng = carry
+                rng, srng = jax.random.split(rng)
+                graph, y, w = batch
+                loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w, srng)
+                updates, opt_state = tx.update(grads, opt_state, params)
+                params = optax.apply_updates(params, updates)
+                return (params, opt_state, rng), loss
+
+            (params, opt_state, _), losses = jax.lax.scan(
+                body, (params, opt_state, rng), (graphs, ys, ws)
+            )
+            return params, opt_state, losses
+
         self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
+        self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
         self.eval_step = jax.jit(eval_step)
 
     # -- state / checkpoint ------------------------------------------------
@@ -298,23 +317,40 @@ class Trainer:
         # reference main.py:50-51)
         snapshot = None
         nan_retries = 0
+        compiled = self.tcfg.compiled_epochs and self.mesh is None
         for _ in range(epochs):
             self._set_lr(state)
             epoch_loss, nb = 0.0, 0
-            for g, y, w in loader.batches():
-                rng, srng = jax.random.split(rng)
-                if self.mesh is not None:
-                    from ..parallel.sharding import shard_batch
-
-                    gj, yj, wj = shard_batch(self.mesh, g, y, w)
-                else:
-                    gj = Graph(*[jnp.asarray(a) for a in g])
-                    yj, wj = jnp.asarray(y), jnp.asarray(w)
-                state.params, state.opt_state, loss = self.train_step(
-                    state.params, state.opt_state, gj, yj, wj, srng
+            if compiled:
+                batches = list(loader.batches())
+                graphs = Graph(
+                    *[jnp.stack([getattr(b[0], f) for b in batches])
+                      for f in Graph._fields]
                 )
-                epoch_loss += float(loss)
-                nb += 1
+                ys = jnp.stack([b[1] for b in batches])
+                ws = jnp.stack([b[2] for b in batches])
+                rng, srng = jax.random.split(rng)
+                state.params, state.opt_state, losses = self.train_epoch(
+                    state.params, state.opt_state, graphs, ys, ws, srng
+                )
+                losses = np.asarray(losses)
+                epoch_loss = float(losses.sum())
+                nb = len(batches)
+            else:
+                for g, y, w in loader.batches():
+                    rng, srng = jax.random.split(rng)
+                    if self.mesh is not None:
+                        from ..parallel.sharding import shard_batch
+
+                        gj, yj, wj = shard_batch(self.mesh, g, y, w)
+                    else:
+                        gj = Graph(*[jnp.asarray(a) for a in g])
+                        yj, wj = jnp.asarray(y), jnp.asarray(w)
+                    state.params, state.opt_state, loss = self.train_step(
+                        state.params, state.opt_state, gj, yj, wj, srng
+                    )
+                    epoch_loss += float(loss)
+                    nb += 1
             if not np.isfinite(epoch_loss):
                 if snapshot is None or nan_retries >= 3:
                     raise FloatingPointError(
