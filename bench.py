@@ -95,7 +95,7 @@ def measure(iters=ITERS, warmup=WARMUP):
 
 
 def cpu_baseline() -> float:
-    key = "108M-default-v1"
+    key = "108M-default-v2"  # bump when padding/model defaults change
     if os.path.exists(CACHE):
         try:
             d = json.load(open(CACHE))
