@@ -35,7 +35,9 @@ def rcm_order(nlist: np.ndarray, edges: np.ndarray) -> np.ndarray:
     return np.asarray(reverse_cuthill_mckee(a, symmetric_mode=True), np.int64)
 
 
-def permute_graph(graph: Graph, order: np.ndarray) -> Tuple[Graph, np.ndarray]:
+def permute_graph(
+    graph: Graph, order: np.ndarray, pin_zero: bool = True
+) -> Tuple[Graph, np.ndarray]:
     """Apply an atom permutation to a (numpy-backed) graph.
 
     Returns (permuted_graph, inverse) where ``peaks_original =
@@ -44,15 +46,20 @@ def permute_graph(graph: Graph, order: np.ndarray) -> Tuple[Graph, np.ndarray]:
 
     Note the index-0 padding quirk (SURVEY.md C1): degree counts
     ``nlist > 0``, so whichever atom lands at position 0 stops being
-    countable as a neighbor. To preserve the reference's exact numerics
-    we keep the atom that was originally at index 0 at position 0.
+    countable as a neighbor. With ``pin_zero=True`` the atom originally
+    at index 0 stays at position 0, so recomputing inv_degree from the
+    permuted nlist reproduces the reference's exact numerics. Paths that
+    carry ``inv_degree`` through the permutation (banded/block-sparse MP
+    mask by edge distance, not index) can pass ``pin_zero=False``; the
+    pin stretches one tile's neighbor window across the whole structure
+    and ruins the band (measured on 108M.pdb: max window 785 -> 2230).
     """
     order = np.asarray(order)
     n = order.shape[0]
-    # pin original atom 0 at position 0 (see docstring)
-    z = int(np.nonzero(order == 0)[0][0])
-    if z != 0:
-        order = np.concatenate([[0], np.delete(order, z)])
+    if pin_zero:
+        z = int(np.nonzero(order == 0)[0][0])
+        if z != 0:
+            order = np.concatenate([[0], np.delete(order, z)])
     inv = np.empty(n, np.int64)
     inv[order] = np.arange(n)
     nlist = np.asarray(graph.nlist)

@@ -20,6 +20,15 @@ import numpy as np
 from ..config import ModelConfig
 from ..graph import Graph
 from ..ops.activations import get_activation
+from ..ops.banded import (
+    BandPlan,
+    band_plan,
+    build_band,
+    build_band_xla,
+    mp_banded,
+    mp_banded_xla,
+    plan_fits_vmem,
+)
 from ..ops.blocksparse import (
     BlockStructure,
     block_structure,
@@ -105,3 +114,80 @@ def apply_blocksparse(
         axis=-1,
     )
     return peaks
+
+
+def _edge_features(params, config, edges):
+    """RBF + EdgeFC + masking, shared by all fast-path forwards
+    (reference: model.py:251-261)."""
+    fc_act = get_activation(config.fc_activation)
+    edge_mask = (edges > 0).astype(jnp.float32)[..., None]
+    e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
+    e = e * edge_mask
+    for i, p in enumerate(params["edge_fc"]):
+        last = i == len(params["edge_fc"]) - 1
+        e = _dense(p, e, None if last else fc_act)
+    return e * edge_mask  # [N, K, E]
+
+
+def _readout(params, config, atoms, nodes):
+    """FC block + per-element head + de-standardization
+    (reference: model.py:265-273)."""
+    fc_act = get_activation(config.fc_activation)
+    for p in params["fc"][:-1]:
+        nodes = _dense(p, nodes, fc_act) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act)
+    full_peaks = _dense(params["out"], nodes)
+    return jnp.sum(
+        full_peaks * atoms * params["peak_std"] + atoms * params["peak_avg"],
+        axis=-1,
+    )
+
+
+def precompute_band(graph: Graph, block_rows: int = 128) -> BandPlan:
+    """Host-side banding plan for an (RCM-ordered) frame. Reusable across
+    layers, forwards, and trajectory frames with the same topology."""
+    return band_plan(
+        np.asarray(graph.nlist), np.asarray(graph.edges), block_rows=block_rows
+    )
+
+
+def apply_banded(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    plan: BandPlan,
+    interpret: bool = False,
+    use_pallas: bool = True,
+) -> jnp.ndarray:
+    """Forward pass (inference mode) with RCM-banded MP (see ops/banded.py).
+
+    ``graph`` should be RCM-reordered (data.reorder.rcm_order with
+    pin_zero=False) so the band is narrow; correctness does not depend
+    on the order. Returns peaks f32[N] for the unpadded atoms.
+    """
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    e = _edge_features(params, config, edges)
+
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    if use_pallas:
+        M = build_band(nlist, e, plan, out_dtype=compute_dtype, interpret=interpret)
+    else:
+        M = build_band_xla(nlist, e, plan).astype(compute_dtype)
+
+    pad = plan.n_padded - n
+    nodes = _dense(params["embed"], atoms).astype(compute_dtype)
+    nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+    inv_p = jnp.pad(inv_degree, ((0, pad),))
+
+    for p in params["mp"]:
+        w = p["w"].astype(compute_dtype)
+        if use_pallas:
+            nodes = mp_banded(
+                M, plan, nodes, w, inv_p, config.mp_activation, interpret=interpret
+            )
+        else:
+            nodes = mp_banded_xla(M, plan, nodes, w, inv_p, config.mp_activation)
+
+    nodes = nodes[:n].astype(jnp.float32)
+    return _readout(params, config, atoms, nodes)
