@@ -52,8 +52,15 @@ def _dense_init(rng, d_in, d_out, use_bias=True):
     return p
 
 
-def _dense(p, x, activation=None):
-    y = x @ p["kernel"]
+def _dense(p, x, activation=None, compute_dtype=jnp.float32):
+    """Dense layer. ``compute_dtype`` casts the matmul operands (bf16 on
+    the TPU fast path) while accumulating in f32 on the MXU; bias add and
+    activation stay f32."""
+    y = jnp.matmul(
+        x.astype(compute_dtype),
+        p["kernel"].astype(compute_dtype),
+        preferred_element_type=jnp.float32,
+    )
     if "bias" in p:
         y = y + p["bias"]
     return activation(y) if activation is not None else y
@@ -165,16 +172,17 @@ def apply(
         rng, nrng = jax.random.split(rng)
         e = e + config.noise * jax.random.normal(nrng, e.shape, e.dtype)
 
+    compute_dtype = jnp.dtype(config.compute_dtype)
+
     e = rbf_expand(e, config.rbf_low, config.rbf_high, config.edge_hidden_size)
     e = e * edge_mask
     for i, p in enumerate(params["edge_fc"]):
         last = i == len(params["edge_fc"]) - 1
-        e = _dense(p, e, None if last else fc_act)
+        e = _dense(p, e, None if last else fc_act, compute_dtype=compute_dtype)
     e = e * edge_mask  # [N, K, E]
 
     nodes = _dense(params["embed"], atoms)  # [N, F]
 
-    compute_dtype = jnp.dtype(config.compute_dtype)
     for p in params["mp"]:
         if config.mp_type == "attention":
             upd = amp_layer(
@@ -188,8 +196,8 @@ def apply(
         nodes = upd + nodes
 
     for p in params["fc"][:-1]:
-        nodes = _dense(p, nodes, fc_act) + nodes
-    nodes = _dense(params["fc"][-1], nodes, fc_act)  # [N, F//2]
+        nodes = _dense(p, nodes, fc_act, compute_dtype=compute_dtype) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act, compute_dtype=compute_dtype)
 
     if training and config.dropout:
         rng, drng = jax.random.split(rng)
