@@ -76,18 +76,32 @@ def import_reference_checkpoint(
     given."""
     tv = _load_tf_variables(path)
 
-    if "embed_layer/kernel" not in tv:
-        raise ValueError(f"{path}: not a reference GNNModel checkpoint "
-                         f"(no embed_layer/kernel); found {sorted(tv)[:5]}...")
-    embed = tv["embed_layer/kernel"]
-    v_elems, f_atom = embed.shape
-
     numbered = sorted(
         ((int(m.group(1)), tv[k]) for k in tv
          if (m := re.fullmatch(r"variables/(\d+)", k))),
         key=lambda t: t[0],
     )
     seq = [arr for _, arr in numbered]
+
+    if "embed_layer/kernel" in tv:
+        # Bundled-baseline scheme: embed/out tracked as named attributes
+        # alongside the flat `variables` list (SURVEY.md Appendix A).
+        embed = tv["embed_layer/kernel"]
+        out_k = tv.get("out_layer/kernel")
+        out_b = tv.get("out_layer/bias")
+    else:
+        # Legacy-Keras `model.save` scheme: everything in model.variables
+        # creation order — blocks first, then out_layer (kernel, bias) and
+        # embed_layer (kernel, built last; reference model.py:236-241).
+        if len(seq) < 3 or seq[-1].ndim != 2 or seq[-2].ndim != 1:
+            raise ValueError(
+                f"{path}: not a reference GNNModel checkpoint (no "
+                f"embed_layer/kernel and no trailing out/embed variables); "
+                f"found {sorted(tv)[:5]}..."
+            )
+        embed, out_b, out_k = seq[-1], seq[-2], seq[-3]
+        seq = seq[:-3]
+    v_elems, f_atom = embed.shape
 
     # EdgeFC: leading (kernel, bias) pairs until the rank-3 MP weights
     edge_fc = []
@@ -118,8 +132,6 @@ def import_reference_checkpoint(
     if not fc or fc[-1]["kernel"].shape != (f_atom, f_atom // 2):
         raise ValueError("FC block does not end in Dense(F/2)")
 
-    out_k = tv.get("out_layer/kernel")
-    out_b = tv.get("out_layer/bias")
     if out_k is None or out_k.shape != (f_atom // 2, v_elems):
         raise ValueError("missing or mis-shaped out_layer")
 
