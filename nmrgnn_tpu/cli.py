@@ -40,7 +40,8 @@ def _jax():
 @click.option("--checkpoint-path", default="/tmp/checkpoint", type=click.Path())
 @click.option("--embeddings", default=None, help="path to embeddings JSON")
 @click.option("--validation", default=0.1, help="relative size of validation")
-@click.option("--tensorboard", default=None, help="path for scalar logs (jsonl)")
+@click.option("--tensorboard", default=None,
+              help="log dir for TensorBoard event files (+ scalars.jsonl)")
 @click.option("--load/--noload", default=False, help="resume from checkpoint path")
 @click.option("--loss-balance", default=1.0, help="L2 (1.0) vs corr (0.0) balance")
 @click.option("--batch-size", default=8)
@@ -92,14 +93,19 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
 
     callbacks = []
     if tensorboard:
+        from .utils.tb_events import EventWriter
+
         os.makedirs(tensorboard, exist_ok=True)
         logf = open(os.path.join(tensorboard, "scalars.jsonl"), "a")
+        events = EventWriter(tensorboard)
 
         def log_cb(st, logs):
             import json
 
             logf.write(json.dumps({"epoch": st.epoch, **logs}) + "\n")
             logf.flush()
+            events.scalars(logs, st.epoch)
+            events.flush()
 
         callbacks.append(log_cb)
 

@@ -72,7 +72,7 @@ def neighbors_device(coords: jnp.ndarray, k: int, n_real: jnp.ndarray = None, bl
     valid_col = (jnp.arange(npad) < n_real)  # [Np]
 
     def one_block(b):
-        rows = cp[b * block : (b + 1) * block] if False else jax.lax.dynamic_slice_in_dim(cp, b * block, block, 0)
+        rows = jax.lax.dynamic_slice_in_dim(cp, b * block, block, 0)
         row_sq = jax.lax.dynamic_slice_in_dim(sq, b * block, block, 0)
         # squared distances via the MXU: |x|^2 + |y|^2 - 2 x.y
         d2 = row_sq[:, None] + sq[None, :] - 2.0 * (rows @ cp.T)

@@ -10,8 +10,8 @@ Coordinates are returned in Angstrom (PDB native); graph construction
 converts to nm downstream (SURVEY.md Appendix B: RBF grid 0.005-0.20
 implies nm).
 
-A C++ fast path (native/pdb_reader.cc) is used when the shared library
-has been built; this pure-Python path is the always-available fallback.
+Pure Python: PDB text parsing is a negligible share of ingest time (the
+C++ runtime covers the hot host paths — neighbor search and TFRecord IO).
 """
 from __future__ import annotations
 

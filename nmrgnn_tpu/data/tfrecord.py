@@ -49,18 +49,30 @@ _TABLE = _make_table()
 
 
 def crc32c(data: bytes) -> int:
-    crc = np.uint32(0xFFFFFFFF)
-    arr = np.frombuffer(data, dtype=np.uint8)
+    """Pure-Python byte-at-a-time table CRC32C — the portability fallback.
+    Hot paths (TFRecordWriter bulk writes, checked scans) go through the
+    native C++ runtime (native/src/crc32c.h) instead."""
     table = _TABLE
-    # byte-at-a-time with table lookup; loop in python but table op in C.
-    # Chunked via np to keep it tolerable for large payloads.
     crc_val = 0xFFFFFFFF
-    for b in arr.tobytes():
+    for b in data:
         crc_val = (crc_val >> 8) ^ int(table[(crc_val ^ b) & 0xFF])
     return crc_val ^ 0xFFFFFFFF
 
 
 def masked_crc(data: bytes) -> int:
+    from .. import native
+
+    lib = native.get_lib()
+    if lib is not None:
+        import ctypes
+
+        buf = np.frombuffer(data, np.uint8)
+        if buf.size:
+            return int(
+                lib.nmrgnn_masked_crc(
+                    buf.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)), buf.size
+                )
+            )
     c = crc32c(data)
     return ((((c >> 15) | (c << 17)) + 0xA282EAD8) & 0xFFFFFFFF)
 
@@ -203,21 +215,42 @@ def decode_example(data: bytes) -> Dict[str, FeatureValue]:
 # TFRecord container
 
 class TFRecordWriter:
-    def __init__(self, path: str, append: bool = False):
-        self._f = open(path, "ab" if append else "wb")
+    """Buffered TFRecord writer. Records are framed and CRC'd in bulk by
+    the native C++ runtime (native/src/tfrecord.cc) when available, with
+    a pure-Python masked-CRC fallback."""
+
+    def __init__(self, path: str, append: bool = False, flush_every: int = 512):
+        self._path = path
+        self._flush_every = flush_every
+        self._buf: list = []
+        if not append:
+            open(path, "wb").close()  # truncate up front; flushes append
 
     def write(self, payload: bytes) -> None:
-        header = struct.pack("<Q", len(payload))
-        self._f.write(header)
-        self._f.write(struct.pack("<I", masked_crc(header)))
-        self._f.write(payload)
-        self._f.write(struct.pack("<I", masked_crc(payload)))
+        self._buf.append(bytes(payload))
+        if len(self._buf) >= self._flush_every:
+            self.flush()
+
+    def flush(self) -> None:
+        if not self._buf:
+            return
+        from .. import native
+
+        if not native.tfrecord_write(self._path, self._buf, append=True):
+            with open(self._path, "ab") as f:
+                for payload in self._buf:
+                    header = struct.pack("<Q", len(payload))
+                    f.write(header)
+                    f.write(struct.pack("<I", masked_crc(header)))
+                    f.write(payload)
+                    f.write(struct.pack("<I", masked_crc(payload)))
+        self._buf.clear()
 
     def write_example(self, features: Dict[str, FeatureValue]) -> None:
         self.write(encode_example(features))
 
     def close(self):
-        self._f.close()
+        self.flush()
 
     def __enter__(self):
         return self

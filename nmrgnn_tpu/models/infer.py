@@ -24,8 +24,11 @@ from ..ops.banded import (
     BandPlan,
     band_plan,
     build_band,
+    build_band_df,
+    build_band_fused,
     build_band_xla,
     mp_banded,
+    mp_banded_df,
     mp_banded_xla,
     plan_fits_vmem,
 )
@@ -158,21 +161,35 @@ def apply_banded(
     plan: BandPlan,
     interpret: bool = False,
     use_pallas: bool = True,
+    fused_edge: bool = True,
 ) -> jnp.ndarray:
     """Forward pass (inference mode) with RCM-banded MP (see ops/banded.py).
 
     ``graph`` should be RCM-reordered (data.reorder.rcm_order with
     pin_zero=False) so the band is narrow; correctness does not depend
     on the order. Returns peaks f32[N] for the unpadded atoms.
+
+    ``fused_edge=True`` (Pallas path only) computes RBF + EdgeFC + band
+    build in one fused kernel so the [N, K, H] edge activations never
+    round-trip through HBM.
     """
     atoms, nlist, edges, inv_degree = graph
     n = atoms.shape[0]
-    e = _edge_features(params, config, edges)
 
     compute_dtype = jnp.dtype(config.compute_dtype)
-    if use_pallas:
+    if use_pallas and fused_edge:
+        M = build_band_fused(
+            nlist, edges, params["edge_fc"], plan,
+            rbf_low=config.rbf_low, rbf_high=config.rbf_high,
+            activation_name=config.fc_activation,
+            out_dtype=compute_dtype, compute_dtype=compute_dtype,
+            interpret=interpret,
+        )
+    elif use_pallas:
+        e = _edge_features(params, config, edges)
         M = build_band(nlist, e, plan, out_dtype=compute_dtype, interpret=interpret)
     else:
+        e = _edge_features(params, config, edges)
         M = build_band_xla(nlist, e, plan).astype(compute_dtype)
 
     pad = plan.n_padded - n
@@ -191,3 +208,60 @@ def apply_banded(
 
     nodes = nodes[:n].astype(jnp.float32)
     return _readout(params, config, atoms, nodes)
+
+
+def apply_banded_trainable(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    plan: BandPlan,
+    *,
+    training: bool = False,
+    rng=None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable banded forward: Pallas kernels forward, gather-free
+    XLA backward (ops/banded.py build_band_df / mp_banded_df). Matches
+    models.gnn.apply numerics in f32 and jax.grad flows to every
+    trainable leaf — the fast-path analogue of the reference's Keras
+    autodiff through MPLayer (reference layers.py:39-40).
+
+    ``training=True`` applies the reference's Gaussian distance noise and
+    readout dropout (reference model.py:253,266-267) as XLA elementwise
+    ops around the kernels.
+    """
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    if training and config.noise > 0:
+        if rng is None:
+            raise ValueError("training=True requires rng")
+        rng, nrng = jax.random.split(rng)
+        edges = edges + config.noise * jax.random.normal(nrng, edges.shape, edges.dtype)
+
+    e = _edge_features(params, config, edges)
+    M = build_band_df(nlist, e, plan, interpret=interpret)
+
+    pad = plan.n_padded - n
+    nodes = _dense(params["embed"], atoms)
+    nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+    inv_p = jnp.pad(inv_degree, ((0, pad),))
+    for p in params["mp"]:
+        nodes = mp_banded_df(
+            M, plan, nodes, p["w"], inv_p, config.mp_activation,
+            interpret=interpret,
+        )
+
+    nodes = nodes[:n]
+    fc_act = get_activation(config.fc_activation)
+    for p in params["fc"][:-1]:
+        nodes = _dense(p, nodes, fc_act) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act)
+    if training and config.dropout:
+        rng, drng = jax.random.split(rng)
+        keep = 1.0 - config.dropout_rate
+        mask = jax.random.bernoulli(drng, keep, nodes.shape)
+        nodes = jnp.where(mask, nodes / keep, 0.0)
+    full_peaks = _dense(params["out"], nodes)
+    peak_std = jax.lax.stop_gradient(params["peak_std"])
+    peak_avg = jax.lax.stop_gradient(params["peak_avg"])
+    return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)

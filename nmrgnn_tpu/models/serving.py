@@ -1,18 +1,30 @@
-"""Production serving wrapper: compile-once, per-frame structure reuse.
+"""Production serving wrapper: compile-once, per-frame structure reuse,
+automatic fast-path selection.
 
-Combines the serving-side optimizations:
-  * RCM atom reordering (data/reorder.py) — fewer active blocks
-  * per-frame block-sparse pattern with shape-stable pair rounding, so
-    trajectory frames reuse one compiled kernel set
-  * block-sparse Pallas MP on TPU, XLA block path on CPU
+Path selection (first call, then fixed):
+  * banded Pallas MP (ops/banded.py) when the RCM band plan fits VMEM
+    (plan_fits_vmem) — the fast path for whole-protein graphs up to ~8k
+    atoms at F=256;
+  * block-sparse Pallas MP (ops/blocksparse.py) for larger graphs;
+  * XLA block path on CPU.
 
-The reference's serving story is a Keras SavedModel called frame-by-frame
-with host-built graphs and no cross-frame reuse (reference:
-main.py:236-248).
+Per-frame reuse: the RCM atom ordering is fixed by the first frame; each
+subsequent frame verifies the cached band plan / block pattern against
+its own neighbor lists (ops.banded.plan_covers / ops.blocksparse.
+remap_frame) and only rebuilds on escape. Forward functions are jitted
+once per (window, n_padded) bucket, with the plan's window starts passed
+as runtime arrays so plan rebuilds do NOT recompile.
+
+predict_trajectory overlaps host graph building (frame i+1, worker
+thread) with device inference (frame i) and defers the host readback one
+frame — fixing the reference's strictly serial parse -> forward loop
+(reference: main.py:236-248).
 """
 from __future__ import annotations
 
-from typing import Optional
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
 
 import jax
 import numpy as np
@@ -20,8 +32,9 @@ import numpy as np
 from ..config import ModelConfig
 from ..data.reorder import permute_graph, rcm_order
 from ..graph import Graph
-from ..ops.blocksparse import block_structure
-from .infer import apply_blocksparse
+from ..ops.banded import band_plan, fused_build_fits, plan_covers, plan_fits_vmem
+from ..ops.blocksparse import block_structure, remap_frame
+from .infer import apply_banded, apply_blocksparse
 
 
 class ServingModel:
@@ -34,6 +47,7 @@ class ServingModel:
         pair_rounding: int = 32,
         group: int = 4,
         use_pallas: Optional[bool] = None,
+        mode: str = "auto",
     ):
         self.params = params
         self.config = config
@@ -46,42 +60,188 @@ class ServingModel:
             if use_pallas is not None
             else jax.default_backend() not in ("cpu",)
         )
+        if mode not in ("auto", "banded", "blocksparse"):
+            raise ValueError(f"unknown serving mode {mode!r}")
+        self.mode = mode
         self._order: Optional[np.ndarray] = None
         self._inverse: Optional[np.ndarray] = None
+        self._resolved: Optional[str] = None
+        self._plan = None
+        self._struct = None
+        self._jit_cache = {}
 
-    def predict(self, graph: Graph) -> np.ndarray:
-        """peaks f32[N] for a (numpy-backed) graph. The first call fixes
-        the atom ordering; later calls (trajectory frames) reuse it."""
-        g = Graph(*[np.asarray(a) for a in graph])
-        if self.reorder:
-            if self._order is None or self._order.shape[0] != g.atoms.shape[0]:
-                self._order = rcm_order(g.nlist, g.edges)
-            g, self._inverse = permute_graph(g, self._order)
-        struct = block_structure(
+    # -- path selection / plan management -----------------------------------
+
+    def _prepare(self, g: Graph) -> Graph:
+        """Apply (and on first call fix) the RCM ordering."""
+        if not self.reorder:
+            self._inverse = None
+            return g
+        if self._order is None or self._order.shape[0] != g.atoms.shape[0]:
+            self._order = rcm_order(g.nlist, g.edges)
+        g, self._inverse = permute_graph(g, self._order, pin_zero=False)
+        return g
+
+    def _plan_if_fits(self, g: Graph):
+        """Band plan whose MP working set AND fused-build scoped VMEM both
+        fit, trying smaller row tiles for wide bands; None -> blocksparse."""
+        cfg = self.config
+        dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
+        for block_rows in (self.block_size, self.block_size // 2):
+            plan = band_plan(g.nlist, g.edges, block_rows=block_rows)
+            if plan_fits_vmem(
+                plan, cfg.atom_feature_size, cfg.edge_feature_size,
+                dtype_bytes=dtype_bytes,
+            ) and fused_build_fits(
+                plan, cfg.edge_hidden_size, cfg.edge_feature_size,
+                g.nlist.shape[1], out_bytes=dtype_bytes,
+            ):
+                return plan
+        return None
+
+    def _resolve_mode(self, g: Graph) -> str:
+        if self._resolved is not None:
+            return self._resolved
+        if self.mode != "auto":
+            self._resolved = self.mode
+        elif not self.use_pallas:
+            self._resolved = "blocksparse"  # XLA block path (CPU)
+        else:
+            plan = self._plan_if_fits(g)
+            if plan is not None:
+                self._resolved = "banded"
+                self._plan = plan
+            else:
+                self._resolved = "blocksparse"
+        return self._resolved
+
+    def _banded_plan(self, g: Graph):
+        if self._plan is None or not plan_covers(self._plan, g.nlist, g.edges):
+            plan = self._plan_if_fits(g)
+            if plan is None:  # forced mode="banded" on an oversized graph
+                plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
+            self._plan = plan
+        return self._plan
+
+    def _block_struct(self, g: Graph):
+        if self._struct is not None:
+            remapped = remap_frame(self._struct, g.nlist, g.edges)
+            if remapped is not None:
+                self._struct = remapped
+                return remapped
+        self._struct = block_structure(
             g.nlist, g.edges, self.block_size,
             pair_rounding=self.pair_rounding,
             group=self.group if self.use_pallas else 1,
         )
+        return self._struct
+
+    # -- compiled forwards ---------------------------------------------------
+
+    def _banded_fwd(self, plan):
+        key = ("banded", plan.window, plan.n_padded, plan.block_rows)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            config = self.config
+
+            @jax.jit
+            def fn(params, graph, lo):
+                # `lo` rides as a runtime array so plan rebuilds with the
+                # same (window, n_padded) bucket reuse this compilation.
+                return apply_banded(params, config, graph, plan._replace(lo=lo))
+
+            self._jit_cache[key] = fn
+        return fn
+
+    def _blocksparse_fwd(self, struct):
+        key = ("block", struct.n_pairs, struct.n_padded, struct.block_size)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            config = self.config
+            use_pallas = self.use_pallas
+            group = self.group if use_pallas else 1
+
+            @jax.jit
+            def fn(params, graph, pair_rows, pair_cols, pair_valid, edge_pair):
+                s = struct._replace(
+                    pair_rows=pair_rows, pair_cols=pair_cols,
+                    pair_valid=pair_valid, edge_pair=edge_pair,
+                )
+                return apply_blocksparse(
+                    params, config, graph, s,
+                    use_pallas=use_pallas, group=group,
+                )
+
+            self._jit_cache[key] = fn
+        return fn
+
+    # -- prediction ----------------------------------------------------------
+
+    def _predict_async(self, graph: Graph):
+        """Dispatch the forward; returns (device_peaks, inverse) without
+        forcing a host readback."""
         import jax.numpy as jnp
 
+        g = Graph(*[np.asarray(a) for a in graph])
+        g = self._prepare(g)
+        mode = self._resolve_mode(g)
         gj = Graph(*[jnp.asarray(a) for a in g])
-        peaks = np.asarray(
-            apply_blocksparse(
-                self.params, self.config, gj, struct,
-                use_pallas=self.use_pallas,
-                group=self.group if self.use_pallas else 1,
+        if mode == "banded":
+            plan = self._banded_plan(g)
+            peaks = self._banded_fwd(plan)(self.params, gj, jnp.asarray(plan.lo))
+        else:
+            s = self._block_struct(g)
+            peaks = self._blocksparse_fwd(s)(
+                self.params, gj,
+                jnp.asarray(s.pair_rows), jnp.asarray(s.pair_cols),
+                jnp.asarray(s.pair_valid), jnp.asarray(s.edge_pair),
             )
-        )
-        if self.reorder:
-            peaks = peaks[self._inverse]
-        return peaks
+        return peaks, self._inverse
 
-    def predict_trajectory(self, struct, stride: int = 1, neighbor_number: int = 16):
-        """Iterate frames of a parsed Structure, yielding (frame_index,
-        peaks f32[N]). Reuses the first frame's atom ordering and the
-        compiled kernels across frames."""
+    @staticmethod
+    def _finalize(peaks, inverse) -> np.ndarray:
+        out = np.asarray(peaks)
+        return out[inverse] if inverse is not None else out
+
+    def predict(self, graph: Graph) -> np.ndarray:
+        """peaks f32[N] for a (numpy-backed) graph. The first call fixes
+        the atom ordering and fast path; later calls (trajectory frames)
+        reuse both."""
+        return self._finalize(*self._predict_async(graph))
+
+    def predict_trajectory(
+        self, struct, stride: int = 1, neighbor_number: int = 16,
+        prefetch: int = 2,
+    ) -> Iterator[Tuple[int, np.ndarray]]:
+        """Yield (frame_index, peaks f32[N]) over a parsed Structure.
+
+        Pipelined: a worker thread parses/builds graph i+1 while the
+        device runs frame i, and frame i's readback happens after frame
+        i+1 has been dispatched.
+        """
         from ..data.parse import structure2graph
 
-        for i in range(0, struct.n_frames, stride):
-            g = structure2graph(struct, neighbor_number, frame=i)
-            yield i, self.predict(g)
+        frames = range(0, struct.n_frames, stride)
+        q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
+
+        def producer():
+            try:
+                for i in frames:
+                    q.put((i, structure2graph(struct, neighbor_number, frame=i)))
+            finally:
+                q.put(None)
+
+        threading.Thread(target=producer, daemon=True).start()
+
+        pending = None  # (frame, device_peaks, inverse)
+        while True:
+            item = q.get()
+            if item is None:
+                break
+            i, g = item
+            peaks, inverse = self._predict_async(g)
+            if pending is not None:
+                yield pending[0], self._finalize(pending[1], pending[2])
+            pending = (i, peaks, inverse)
+        if pending is not None:
+            yield pending[0], self._finalize(pending[1], pending[2])

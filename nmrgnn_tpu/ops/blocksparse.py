@@ -25,7 +25,7 @@ Numerics match the gather path exactly in f32 (same sums, reordered).
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -45,6 +45,8 @@ class BlockStructure(NamedTuple):
     edge_pair: np.ndarray  # i32[N, K] active-pair index of each edge slot
     block_size: int
     n_padded: int
+    key_sorted: Optional[np.ndarray] = None  # i64[U] sorted active-pair keys
+    key_pos: Optional[np.ndarray] = None     # i64[U] pair index per key
 
     @property
     def nb(self) -> int:
@@ -144,7 +146,37 @@ def block_structure(
         edge_pair=edge_pair,
         block_size=block_size,
         n_padded=n_pad,
+        key_sorted=uniq,
+        key_pos=pos_of_uniq,
     )
+
+
+def remap_frame(
+    struct: BlockStructure, nlist: np.ndarray, edges: np.ndarray
+) -> Optional[BlockStructure]:
+    """Reuse a frame's block pattern for a NEW frame of the same
+    trajectory: recompute only the edge->pair mapping (vectorized
+    searchsorted, microseconds) instead of the full pattern build.
+    Returns the updated structure, or None when the new frame's real
+    edges leave the active pair set (caller rebuilds)."""
+    if struct.key_sorted is None:
+        return None
+    nlist = np.asarray(nlist)
+    edges = np.asarray(edges)
+    n, k = nlist.shape
+    if _round_up(n, struct.block_size) != struct.n_padded:
+        return None
+    nb = struct.nb
+    ib = np.arange(n, dtype=np.int64)[:, None] // struct.block_size
+    key = (ib * nb + nlist // struct.block_size).ravel()
+    idx = np.clip(
+        np.searchsorted(struct.key_sorted, key), 0, struct.key_sorted.shape[0] - 1
+    )
+    found = struct.key_sorted[idx] == key
+    if not (found | (edges.ravel() <= 0)).all():
+        return None
+    edge_pair = np.where(found, struct.key_pos[idx], 0).astype(np.int32).reshape(n, k)
+    return struct._replace(edge_pair=edge_pair)
 
 
 def build_block_adjacency(

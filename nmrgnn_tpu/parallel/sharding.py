@@ -96,13 +96,23 @@ def make_parallel_train_step(
     def shard_init(params, opt_state):
         params = shard_params(params, mesh, tp)
         p_specs = param_specs(params, tp)
-        # optimizer state mirrors parameter sharding leaf-by-leaf where
-        # shapes match; scalars replicate
-        def opt_spec(x):
-            return P()
+        param_def = jax.tree_util.tree_structure(params)
+
+        def place(node):
+            # Param-shaped subtrees (Adam mu/nu) mirror the parameter
+            # sharding; everything else (counts, hyperparams) replicates.
+            if jax.tree_util.tree_structure(node) == param_def:
+                return jax.tree_util.tree_map(
+                    lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+                    node, p_specs,
+                )
+            return jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, NamedSharding(mesh, P())), node
+            )
 
         opt_state = jax.tree_util.tree_map(
-            lambda x: jax.device_put(x, NamedSharding(mesh, P())), opt_state
+            place, opt_state,
+            is_leaf=lambda n: jax.tree_util.tree_structure(n) == param_def,
         )
         return params, opt_state
 

@@ -174,3 +174,120 @@ def test_apply_banded_bf16():
     # bf16 band + nodes: loose tolerance, but must correlate tightly
     assert np.corrcoef(got, want)[0, 1] > 0.999
     np.testing.assert_allclose(got, want, rtol=0.1, atol=0.5)
+
+
+def test_build_band_fused_matches_unfused():
+    """Fused RBF+EdgeFC+band kernel == rbf_expand -> edge_fc -> build_band."""
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.data.embeddings import load_standards
+    from nmrgnn_tpu.models.infer import _edge_features
+    from nmrgnn_tpu.ops.banded import build_band_fused
+
+    cfg = ModelConfig()
+    rng = np.random.default_rng(0)
+    n, k = 300, 16
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-40, 40, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+    dists[5, :] = 0.0
+    params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+    plan = band_plan(nlist, dists)
+    e = _edge_features(params, cfg, jnp.asarray(dists))
+    want = np.asarray(build_band_xla(jnp.asarray(nlist), e, plan))
+    got = np.asarray(
+        build_band_fused(
+            jnp.asarray(nlist), jnp.asarray(dists), params["edge_fc"], plan,
+            rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+            activation_name=cfg.fc_activation, interpret=True,
+        )
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+class TestTrainableBanded:
+    """jax.grad through the banded fast path == grad through gnn.apply
+    (VERDICT r1 item 4; reference trains through its hot op via Keras
+    autodiff, reference layers.py:39-40)."""
+
+    def _setup(self):
+        from nmrgnn_tpu import ModelConfig, init_params
+        from nmrgnn_tpu.data.embeddings import load_standards
+        from nmrgnn_tpu.models import gnn
+
+        cfg = ModelConfig(
+            atom_feature_size=32, edge_hidden_size=16, mp_layers=2,
+            fc_layers=3, edge_fc_layers=3, dropout=False, noise=0.0,
+        )
+        rng = np.random.default_rng(1)
+        n, k, v = 256, 8, 10
+        atoms = np.zeros((n, v), np.float32)
+        atoms[np.arange(n), rng.integers(0, v, n)] = 1.0
+        nlist = np.clip(
+            np.arange(n)[:, None] + rng.integers(-30, 30, (n, k)), 0, n - 1
+        ).astype(np.int32)
+        dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+        dists[3, :] = 0.0
+        inv = np.asarray(inv_degree_from_nlist(jnp.asarray(nlist)))
+        g = Graph(*[jnp.asarray(a) for a in (atoms, nlist, dists, inv)])
+        params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+        plan = band_plan(nlist, dists)
+        return params, cfg, g, plan
+
+    def test_forward_matches(self):
+        from nmrgnn_tpu.models import gnn
+        from nmrgnn_tpu.models.infer import apply_banded_trainable
+
+        params, cfg, g, plan = self._setup()
+        want = np.asarray(gnn.apply(params, cfg, g))
+        got = np.asarray(
+            apply_banded_trainable(params, cfg, g, plan, interpret=True)
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+    def test_grads_match_gather_path(self):
+        from nmrgnn_tpu.models import gnn
+        from nmrgnn_tpu.models.infer import apply_banded_trainable
+
+        params, cfg, g, plan = self._setup()
+        target = jnp.asarray(
+            np.random.default_rng(7).normal(size=g.atoms.shape[0]).astype(np.float32)
+        )
+
+        def loss_gather(p):
+            return jnp.mean((gnn.apply(p, cfg, g) - target) ** 2)
+
+        def loss_banded(p):
+            return jnp.mean(
+                (apply_banded_trainable(p, cfg, g, plan, interpret=True) - target) ** 2
+            )
+
+        want = jax.grad(loss_gather)(params)
+        got = jax.grad(loss_banded)(params)
+        flat_w, _ = jax.tree_util.tree_flatten_with_path(want)
+        flat_g = dict(jax.tree_util.tree_flatten_with_path(got)[0])
+        for path, leaf in flat_w:
+            other = flat_g[path]
+            scale = max(float(np.max(np.abs(leaf))), 1e-8)
+            np.testing.assert_allclose(
+                np.asarray(other) / scale, np.asarray(leaf) / scale,
+                rtol=2e-4, atol=1e-4,
+                err_msg=jax.tree_util.keystr(path),
+            )
+
+    def test_training_mode_runs_and_grads_finite(self):
+        from nmrgnn_tpu.models.infer import apply_banded_trainable
+
+        params, cfg, g, plan = self._setup()
+        cfg = cfg.replace(noise=0.025, dropout=True)
+
+        def loss(p):
+            peaks = apply_banded_trainable(
+                p, cfg, g, plan, training=True, rng=jax.random.PRNGKey(2),
+                interpret=True,
+            )
+            return jnp.mean(peaks**2)
+
+        grads = jax.grad(loss)(params)
+        for leaf in jax.tree_util.tree_leaves(grads):
+            assert np.isfinite(np.asarray(leaf)).all()

@@ -152,3 +152,21 @@ class TestParallelTraining:
         sp = shard_params(params, mesh, tp=True)
         w = sp["mp"][0]["w"]
         assert "graph" in str(w.sharding.spec)
+
+    def test_opt_state_mirrors_param_sharding(self):
+        """Under TP, Adam mu/nu shard exactly like their parameters
+        (VERDICT r1 item 9); scalar state (count) replicates."""
+        emb = load_embeddings()
+        loss_idx = tuple(type_mask(r".*", emb, regex=True))
+        tx = optax.adam(1e-3)
+        params = init_params(jax.random.PRNGKey(1), CFG)
+        opt_state = tx.init(params)
+        mesh = make_mesh(data=4, graph=2)
+        _, shard_init = make_parallel_train_step(CFG, tx, loss_idx, mesh, tp=True)
+        sp, so = shard_init(params, opt_state)
+        adam = so[0]  # ScaleByAdamState
+        for moments in (adam.mu, adam.nu):
+            assert "graph" in str(moments["mp"][0]["w"].sharding.spec)
+            assert "graph" in str(moments["fc"][0]["kernel"].sharding.spec)
+            assert str(moments["out"]["bias"].sharding.spec) == "PartitionSpec()"
+        assert str(adam.count.sharding.spec) == "PartitionSpec()"
