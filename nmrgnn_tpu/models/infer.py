@@ -26,6 +26,7 @@ from ..ops.banded import (
     build_band,
     build_band_df,
     build_band_fused,
+    build_band_poly,
     build_band_xla,
     mp_banded,
     mp_banded_df,
@@ -121,25 +122,29 @@ def apply_blocksparse(
 
 def _edge_features(params, config, edges):
     """RBF + EdgeFC + masking, shared by all fast-path forwards
-    (reference: model.py:251-261)."""
+    (reference: model.py:251-261). Matmuls honor config.compute_dtype
+    (f32 accumulation) like gnn.apply."""
     fc_act = get_activation(config.fc_activation)
+    compute_dtype = jnp.dtype(config.compute_dtype)
     edge_mask = (edges > 0).astype(jnp.float32)[..., None]
     e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
     e = e * edge_mask
     for i, p in enumerate(params["edge_fc"]):
         last = i == len(params["edge_fc"]) - 1
-        e = _dense(p, e, None if last else fc_act)
+        e = _dense(p, e, None if last else fc_act, compute_dtype=compute_dtype)
     return e * edge_mask  # [N, K, E]
 
 
 def _readout(params, config, atoms, nodes):
     """FC block + per-element head + de-standardization
-    (reference: model.py:265-273)."""
+    (reference: model.py:265-273). Matmuls honor config.compute_dtype
+    (f32 accumulation); activations and the de-standardization stay f32."""
     fc_act = get_activation(config.fc_activation)
+    compute_dtype = jnp.dtype(config.compute_dtype)
     for p in params["fc"][:-1]:
-        nodes = _dense(p, nodes, fc_act) + nodes
-    nodes = _dense(params["fc"][-1], nodes, fc_act)
-    full_peaks = _dense(params["out"], nodes)
+        nodes = _dense(p, nodes, fc_act, compute_dtype=compute_dtype) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act, compute_dtype=compute_dtype)
+    full_peaks = _dense(params["out"], nodes, compute_dtype=compute_dtype)
     return jnp.sum(
         full_peaks * atoms * params["peak_std"] + atoms * params["peak_avg"],
         axis=-1,
@@ -162,6 +167,7 @@ def apply_banded(
     interpret: bool = False,
     use_pallas: bool = True,
     fused_edge: bool = True,
+    cheb=None,
 ) -> jnp.ndarray:
     """Forward pass (inference mode) with RCM-banded MP (see ops/banded.py).
 
@@ -171,13 +177,19 @@ def apply_banded(
 
     ``fused_edge=True`` (Pallas path only) computes RBF + EdgeFC + band
     build in one fused kernel so the [N, K, H] edge activations never
-    round-trip through HBM.
+    round-trip through HBM. Passing ``cheb`` (ops.edgefn.EdgeCheb)
+    switches the edge stage to its Chebyshev compression —
+    transcendental-free, max error ~4e-7 (the serving fast path).
     """
     atoms, nlist, edges, inv_degree = graph
     n = atoms.shape[0]
 
     compute_dtype = jnp.dtype(config.compute_dtype)
-    if use_pallas and fused_edge:
+    if use_pallas and cheb is not None:
+        M = build_band_poly(
+            nlist, edges, cheb, plan, out_dtype=compute_dtype, interpret=interpret
+        )
+    elif use_pallas and fused_edge:
         M = build_band_fused(
             nlist, edges, params["edge_fc"], plan,
             rbf_low=config.rbf_low, rbf_high=config.rbf_high,

@@ -48,18 +48,33 @@ class ServingModel:
         group: int = 4,
         use_pallas: Optional[bool] = None,
         mode: str = "auto",
+        precision: str = "fast",
     ):
-        self.params = params
-        self.config = config
-        self.reorder = reorder
-        self.block_size = block_size
-        self.pair_rounding = pair_rounding
-        self.group = group
+        """``precision``:
+          * "fast" (default) — bf16 MXU arithmetic with f32 accumulation
+            plus the Chebyshev-compressed edge stage (ops/edgefn.py,
+            ~4e-7 edge error). The production serving configuration.
+          * "exact" — f32 with the exact RBF+EdgeFC kernels; matches
+            models.gnn.apply to f32 roundoff.
+        """
+        if precision not in ("fast", "exact"):
+            raise ValueError(f"unknown precision {precision!r}")
         self.use_pallas = (
             use_pallas
             if use_pallas is not None
             else jax.default_backend() not in ("cpu",)
         )
+        # "fast" is a device-serving mode; the CPU/XLA fallback stays f32.
+        self.precision = precision if self.use_pallas else "exact"
+        if self.precision == "fast" and config.compute_dtype == "float32":
+            config = config.replace(compute_dtype="bfloat16")
+        self.params = params
+        self.config = config
+        self._cheb = None
+        self.reorder = reorder
+        self.block_size = block_size
+        self.pair_rounding = pair_rounding
+        self.group = group
         if mode not in ("auto", "banded", "blocksparse"):
             raise ValueError(f"unknown serving mode {mode!r}")
         self.mode = mode
@@ -138,17 +153,34 @@ class ServingModel:
 
     # -- compiled forwards ---------------------------------------------------
 
+    def _edge_cheb(self):
+        if self._cheb is None:
+            from ..ops.edgefn import fit_edge_chebyshev
+
+            cfg = self.config
+            self._cheb = fit_edge_chebyshev(
+                self.params["edge_fc"],
+                rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+                rbf_count=cfg.edge_hidden_size,
+                activation=cfg.fc_activation,
+                degree=64,
+            )
+        return self._cheb
+
     def _banded_fwd(self, plan):
         key = ("banded", plan.window, plan.n_padded, plan.block_rows)
         fn = self._jit_cache.get(key)
         if fn is None:
             config = self.config
+            cheb = self._edge_cheb() if self.precision == "fast" else None
 
             @jax.jit
             def fn(params, graph, lo):
                 # `lo` rides as a runtime array so plan rebuilds with the
                 # same (window, n_padded) bucket reuse this compilation.
-                return apply_banded(params, config, graph, plan._replace(lo=lo))
+                return apply_banded(
+                    params, config, graph, plan._replace(lo=lo), cheb=cheb
+                )
 
             self._jit_cache[key] = fn
         return fn

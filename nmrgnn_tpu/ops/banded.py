@@ -563,6 +563,119 @@ def build_band_fused(
     )(jnp.asarray(plan.lo), nlist_p, edges_p, wh, bh, wf, bf)
 
 
+# ---------------------------------------------------------------------------
+# Polynomial edge stage: the transcendental-free serving build.
+#
+# The fused kernel above still pays the edge stage's ~26M exp/softplus
+# evaluations (~150 us/forward on v5e — its dominant cost). Serving
+# instead compresses the whole scalar edge function e(d) = EdgeFC(RBF(d))
+# into Chebyshev polynomials (ops/edgefn.py; max error ~4e-7 at degree
+# 48, far inside f32 noise) and this kernel evaluates them with an
+# FMA-only recurrence on the [B, K] distance tile before the band build.
+
+
+def _poly_band_kernel(
+    lo_ref,       # i32[T] scalar prefetch
+    nlist_ref,    # i32[B, K]
+    edges_ref,    # f32[B, K] raw distances
+    m_ref,        # out [1, E, B, W]
+    *,
+    coeffs,       # tuple of E tuples of static floats (degree+1 each)
+    d_lo: float,
+    d_hi: float,
+    n_edge_channels: int,
+    neighbor_k: int,
+    window: int,
+    block_rows: int,
+):
+    t = pl.program_id(0)
+    B, K = block_rows, neighbor_k
+
+    d = edges_ref[...]                                   # [B, K]
+    mask = (d > 0).astype(jnp.float32)
+    x = 2.0 * (jnp.clip(d, d_lo, d_hi) - d_lo) / (d_hi - d_lo) - 1.0
+    # Chebyshev recurrence, accumulated per channel (Clenshaw would halve
+    # the FMA count but this is already negligible: ~degree passes over a
+    # [B, K] tile).
+    tp_prev = jnp.ones_like(x)
+    tp = x
+    es = [jnp.full((B, K), c[0], jnp.float32) + c[1] * x for c in coeffs]
+    degree = len(coeffs[0]) - 1
+    for p in range(2, degree + 1):
+        tp_next = 2.0 * x * tp - tp_prev
+        tp_prev, tp = tp, tp_next
+        for n in range(n_edge_channels):
+            es[n] += coeffs[n][p] * tp
+    es = [e * mask for e in es]
+
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, window), 1) + lo_ref[t]
+    accs = [jnp.zeros((B, window), jnp.float32) for _ in range(n_edge_channels)]
+    for k in range(K):
+        eq = nlist_ref[:, k : k + 1] == lane
+        for n in range(n_edge_channels):
+            accs[n] += jnp.where(eq, es[n][:, k : k + 1], 0.0)
+    for n in range(n_edge_channels):
+        m_ref[0, n] = accs[n].astype(m_ref.dtype)
+
+
+def build_band_poly(
+    nlist: jnp.ndarray,    # i32[N, K]
+    edges: jnp.ndarray,    # f32[N, K] raw distances
+    cheb,                  # ops.edgefn.EdgeCheb
+    plan: BandPlan,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """M [T, E, B, W] from raw distances via the Chebyshev-compressed
+    edge stage. Coefficients are baked as compile-time constants (fixed
+    per served model; ServingModel caches the compilation)."""
+    B, W = plan.block_rows, plan.window
+    n, k = nlist.shape
+    e_ch = cheb.coeffs.shape[1]
+    coeffs = tuple(
+        tuple(float(c) for c in cheb.coeffs[:, n_]) for n_ in range(e_ch)
+    )
+    pad = plan.n_padded - n
+    nlist_p = jnp.pad(nlist.astype(jnp.int32), ((0, pad), (0, 0)), constant_values=-1)
+    edges_p = jnp.pad(edges, ((0, pad), (0, 0)))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(plan.num_tiles,),
+        in_specs=[
+            pl.BlockSpec((B, k), lambda t, lo: (t, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda t, lo: (t, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e_ch, B, W), lambda t, lo: (t, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+    )
+    kernel = functools.partial(
+        _poly_band_kernel,
+        coeffs=coeffs,
+        d_lo=cheb.d_lo,
+        d_hi=cheb.d_hi,
+        n_edge_channels=e_ch,
+        neighbor_k=k,
+        window=W,
+        block_rows=B,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((plan.num_tiles, e_ch, B, W), out_dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=plan.n_padded * k * (len(coeffs[0]) * (2 + e_ch))
+            + plan.n_padded * k * W * 2 * (1 + e_ch),
+            bytes_accessed=plan.num_tiles * e_ch * B * W
+            * jnp.dtype(out_dtype).itemsize
+            + plan.n_padded * k * 8,
+            transcendentals=0,
+        ),
+    )(jnp.asarray(plan.lo), nlist_p, edges_p)
+
+
 def build_band_xla(
     nlist: jnp.ndarray,
     edge_feats: jnp.ndarray,

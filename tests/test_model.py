@@ -229,3 +229,18 @@ class TestModel:
         params = init_params(jax.random.PRNGKey(0), self.cfg)
         peaks = apply(params, self.cfg, g)
         assert np.all(np.isfinite(np.asarray(peaks)))
+
+
+def test_apply_bf16_close_to_f32():
+    """compute_dtype='bfloat16' applies to edge_fc/MP/fc matmuls (f32
+    accumulation); outputs must stay tightly correlated with f32
+    (ADVICE r1: the bf16 apply path was untested)."""
+    from nmrgnn_tpu.data.embeddings import load_standards
+
+    cfg = ModelConfig(dropout=False, noise=0.0)
+    params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+    g = rand_graph(np.random.default_rng(3), n=64, k=16, v=10)
+    f32 = np.asarray(apply(params, cfg, g))
+    b16 = np.asarray(apply(params, cfg.replace(compute_dtype="bfloat16"), g))
+    assert np.corrcoef(f32, b16)[0, 1] > 0.99999
+    np.testing.assert_allclose(b16, f32, rtol=0.05, atol=0.5)
