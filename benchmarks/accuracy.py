@@ -32,9 +32,12 @@ PDB_108M = "/root/reference/tests/108M.pdb"
 PDB_7LGI = "/root/reference/tests/7lgi.pdb.gz"
 
 
-def run(cmd, **kw):
+def run(cmd, cwd=REPO, env=None, **kw):
+    env = dict(env if env is not None else os.environ)
+    # prepend (not replace): the session may carry a sitecustomize dir
+    env["PYTHONPATH"] = REPO + os.pathsep + env.get("PYTHONPATH", "")
     print("+", " ".join(cmd), flush=True)
-    r = subprocess.run(cmd, cwd=REPO, **kw)
+    r = subprocess.run(cmd, cwd=cwd, env=env, **kw)
     if r.returncode != 0:
         raise SystemExit(f"command failed: {cmd}")
 

@@ -274,42 +274,8 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
 
         stack.enter_context(trace(profile))
         click.echo(f"profiling to {profile}")
-    for i in frames:
-        t = time.time_ns()
-        if serving is not None:
-            from .data.parse import structure2graph
 
-            g_np = structure2graph(struct, neighbor_number, frame=i)
-            timing["graph"] += time.time_ns() - t
-            t = time.time_ns()
-            peaks = serving.predict(g_np)
-            timing["inference"] += time.time_ns() - t
-            t = time.time_ns()
-        elif device_graph:
-            coords = jnp.asarray(
-                np.pad(struct.coords[i], ((0, pad_n - n), (0, 0)))
-            )
-            nlist, dists = neighbors_device(coords, neighbor_number, n_real=jnp.int32(n))
-            edges = dists * ANGSTROM_TO_NM
-            from .graph import inv_degree_from_nlist
-
-            g = Graph(jnp.asarray(atoms_pad), nlist, edges, inv_degree_from_nlist(nlist))
-        else:
-            nlist_np, dists_np = neighbors_host(struct.coords[i], neighbor_number)
-            edges_np = (dists_np * ANGSTROM_TO_NM).astype(np.float32)
-            nlist_pad = np.pad(nlist_np, ((0, pad_n - n), (0, 0)))
-            g = Graph(
-                jnp.asarray(atoms_pad),
-                jnp.asarray(nlist_pad),
-                jnp.asarray(np.pad(edges_np, ((0, pad_n - n), (0, 0)))),
-                jnp.asarray(np.pad(inv_degree_np(nlist_np), ((0, pad_n - n),))),
-            )
-        if serving is None:
-            timing["graph"] += time.time_ns() - t
-            t = time.time_ns()
-            peaks = np.asarray(fwd(params, g))[:n]
-            timing["inference"] += time.time_ns() - t
-            t = time.time_ns()
+    def emit_frame(i, peaks, t):
         try:
             confident = check_peaks(atoms_np, peaks)
         except Warning as wrn:
@@ -330,9 +296,50 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
             )
         )
         timing["output"] += time.time_ns() - t
-        click.echo(
-            "|".join(f"{k}:{v/1e9:5.2f}s" for k, v in timing.items())
-        )
+        click.echo("|".join(f"{k}:{v/1e9:5.2f}s" for k, v in timing.items()))
+
+    if serving is not None:
+        # Pipelined: host graph building overlaps device inference
+        # (ServingModel.predict_trajectory); graph time is hidden inside
+        # the inference bucket.
+        t = time.time_ns()
+        for i, peaks in serving.predict_trajectory(
+            struct, stride=stride, neighbor_number=neighbor_number
+        ):
+            timing["inference"] += time.time_ns() - t
+            emit_frame(i, peaks, time.time_ns())
+            t = time.time_ns()
+        stack.close()
+        pd.concat(rows).to_csv(output_csv, index=False)
+        click.echo(f"Done. Results in {output_csv}")
+        return
+
+    for i in frames:
+        t = time.time_ns()
+        if device_graph:
+            coords = jnp.asarray(
+                np.pad(struct.coords[i], ((0, pad_n - n), (0, 0)))
+            )
+            nlist, dists = neighbors_device(coords, neighbor_number, n_real=jnp.int32(n))
+            edges = dists * ANGSTROM_TO_NM
+            from .graph import inv_degree_from_nlist
+
+            g = Graph(jnp.asarray(atoms_pad), nlist, edges, inv_degree_from_nlist(nlist))
+        else:
+            nlist_np, dists_np = neighbors_host(struct.coords[i], neighbor_number)
+            edges_np = (dists_np * ANGSTROM_TO_NM).astype(np.float32)
+            nlist_pad = np.pad(nlist_np, ((0, pad_n - n), (0, 0)))
+            g = Graph(
+                jnp.asarray(atoms_pad),
+                jnp.asarray(nlist_pad),
+                jnp.asarray(np.pad(edges_np, ((0, pad_n - n), (0, 0)))),
+                jnp.asarray(np.pad(inv_degree_np(nlist_np), ((0, pad_n - n),))),
+            )
+        timing["graph"] += time.time_ns() - t
+        t = time.time_ns()
+        peaks = np.asarray(fwd(params, g))[:n]
+        timing["inference"] += time.time_ns() - t
+        emit_frame(i, peaks, time.time_ns())
     stack.close()
     pd.concat(rows).to_csv(output_csv, index=False)
     click.echo(f"Done. Results in {output_csv}")

@@ -61,7 +61,24 @@ def write_fragment(
     )
 
 
+_EXPECTED_KEYS = ("atoms", "nlist", "edges", "shift", "name_idx",
+                  "label_weight", "weight")
+
+
 def example_to_sample(ex: dict, num_elements: int) -> Sample:
+    missing = [k for k in _EXPECTED_KEYS if k not in ex]
+    if missing:
+        # Fail loudly with enough context to write an adapter: the
+        # fragment schema here is this framework's own (data/fragment.py);
+        # genuine nmrdata records (SURVEY.md Appendix B — exact schema
+        # unpublished) will land here and must be mapped explicitly.
+        raise ValueError(
+            f"fragment record is missing fields {missing}; found keys "
+            f"{sorted(ex)}. If this is an external (nmrdata) TFRecord, "
+            "its schema differs from nmrgnn_tpu's native fragment schema "
+            "— convert it with a field mapping (see data/fragment.py for "
+            "the expected per-atom arrays) rather than reading it directly."
+        )
     atom_idx = np.asarray(ex["atoms"], np.int64)
     n = atom_idx.shape[0]
     k = int(ex["k"][0]) if "k" in ex else ex["nlist"].shape[0] // n

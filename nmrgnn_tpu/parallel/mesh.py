@@ -24,8 +24,12 @@ from jax.sharding import Mesh
 
 
 def initialize_distributed(coordinator: Optional[str] = None, **kw) -> None:
-    """Multi-host process bootstrap (no-op when single-process)."""
-    if jax.process_count() > 1 or coordinator is None:
+    """Multi-host process bootstrap (no-op without a coordinator or when
+    already initialized). Must run before any other JAX API touches the
+    backend — so no jax.devices()/process_count() probes here.
+    Exercised by tests/test_multihost.py (two processes, Gloo CPU
+    collectives, DP step matching single-process numerics)."""
+    if coordinator is None or jax.distributed.is_initialized():
         return
     jax.distributed.initialize(coordinator_address=coordinator, **kw)
 

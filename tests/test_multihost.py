@@ -1,0 +1,90 @@
+"""Multi-host execution test (VERDICT r1 item 8: 'tested or gone').
+
+Spawns TWO separate processes (2 virtual CPU devices each) that
+bootstrap through parallel.mesh.initialize_distributed, form a global
+(data=4,) mesh, and run one DP training step with cross-process Gloo
+collectives. Asserts: both processes agree bitwise on the result, and
+the result matches a single-process 4-device step on the same batch
+(gradient psum across process boundaries is exact).
+
+The reference has no distributed machinery at all (SURVEY.md §2.3).
+"""
+import json
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _free_port():
+    s = socket.socket()
+    s.bind(("127.0.0.1", 0))
+    port = s.getsockname()[1]
+    s.close()
+    return port
+
+
+def test_two_process_dp_step_matches_single(tmp_path):
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    script = os.path.join(HERE, "_multihost_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", coord, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=240) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
+
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"proc{pid}.json") as f:
+            results.append(json.load(f))
+    assert results[0]["process_count"] == 2
+    assert results[0]["loss"] == results[1]["loss"]
+    assert results[0]["param_abs_sums"] == results[1]["param_abs_sums"]
+
+    # single-process reference: same batch, 4 local devices, same step
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax.sharding import Mesh
+
+    from _multihost_common import CFG, make_batch
+    from nmrgnn_tpu import init_params
+    from nmrgnn_tpu.data.embeddings import load_embeddings
+    from nmrgnn_tpu.graph import Graph
+    from nmrgnn_tpu.parallel.sharding import make_parallel_train_step, shard_batch
+    from nmrgnn_tpu.train.metrics import type_mask
+
+    g, y, w = make_batch()
+    emb = load_embeddings()
+    loss_idx = tuple(type_mask(r".*", emb, regex=True))
+    tx = optax.adam(1e-3)
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    opt_state = tx.init(params)
+    mesh = Mesh(np.asarray(jax.devices()[:4]), ("data",))
+    step, shard_init = make_parallel_train_step(CFG, tx, loss_idx, mesh)
+    sp, so = shard_init(params, opt_state)
+    gs, ys, ws = shard_batch(mesh, Graph(*[jnp.asarray(a) for a in g]), y, w)
+    new_params, _, loss = step(sp, so, gs, ys, ws, jax.random.PRNGKey(9))
+
+    np.testing.assert_allclose(results[0]["loss"], float(loss), rtol=1e-5)
+    want = {
+        jax.tree_util.keystr(path): float(jnp.sum(jnp.abs(leaf)))
+        for path, leaf in jax.tree_util.tree_leaves_with_path(new_params)
+    }
+    got = results[0]["param_abs_sums"]
+    assert set(got) == set(want)
+    for k in want:
+        np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
