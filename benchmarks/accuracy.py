@@ -8,14 +8,17 @@ available: train BOTH implementations — ours and the reference TF model
 driven by its own Keras fit loop — from scratch on the SAME synthetic
 geometry-derived fragment corpus (data/fragment.py synthetic_shift) and
 compare their evaluation tables. Both see the same records, same loss
-(NameLoss, s=1), same Adam(1e-4), same epochs. The reference trains in
-its own regime (one fragment per step, unbatched — reference
-main.py:79-80); ours trains with its padded-batch trainer.
+(NameLoss, s=1), same Adam(1e-4), and a matched optimizer-update count:
+the reference trains in its own regime (one fragment per step, unbatched
+— reference main.py:79-80, ~640 updates/epoch x ref-epochs), ours with
+its padded-batch trainer (batch 8, ~72 updates/epoch x ours-epochs = 8x
+the epochs for the same update count).
 
 Writes ACCURACY.md at the repo root.
 
 Usage:
-    python benchmarks/accuracy.py [--workdir /tmp/nmracc] [--epochs 30]
+    python benchmarks/accuracy.py [--workdir /tmp/nmracc] \
+        [--ours-epochs 240] [--ref-epochs 30]
 """
 from __future__ import annotations
 
@@ -59,7 +62,8 @@ def table_from_csv(csv_path, data_name):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", default="/tmp/nmracc")
-    ap.add_argument("--epochs", type=int, default=30)
+    ap.add_argument("--ref-epochs", type=int, default=30)
+    ap.add_argument("--ours-epochs", type=int, default=240)
     ap.add_argument("--skip-reference", action="store_true")
     args = ap.parse_args()
     wd = args.workdir
@@ -76,7 +80,7 @@ def main():
 
     model_dir = os.path.join(wd, "model")
     run([sys.executable, "-m", "nmrgnn_tpu.cli", "train",
-         protein, organic, model_dir, str(args.epochs),
+         protein, organic, model_dir, str(args.ours_epochs),
          "--checkpoint-path", os.path.join(wd, "ckpt"),
          "--validation", "0.1"])
 
@@ -99,7 +103,7 @@ def main():
         env = dict(os.environ, TF_USE_LEGACY_KERAS="1", JAX_PLATFORMS="cpu",
                    CUDA_VISIBLE_DEVICES="-1")
         run([sys.executable, os.path.join(REPO, "benchmarks", "_ref_train_eval.py"),
-             f"{protein},{organic}", str(args.epochs),
+             f"{protein},{organic}", str(args.ref_epochs),
              f"{protein}:{ref_csv_p}", f"{organic}:{ref_csv_m}"], env=env)
         ref.update(table_from_csv(ref_csv_p, "P"))
         ref.update(table_from_csv(ref_csv_m, "Mol"))
@@ -114,8 +118,10 @@ def main():
         "baseline (see BASELINE.md for the reference's published numbers).",
         "This table instead establishes *implementation* accuracy parity:",
         "both frameworks trained from scratch on the same synthetic fragment",
-        f"corpus (108M + 7lgi frames + organic; {args.epochs} epochs,",
-        "NameLoss s=1, Adam 1e-4), evaluated identically (Pearson r and the",
+        "corpus (108M + 7lgi frames + organic), matched optimizer-update",
+        f"count (ours: batch 8 x {args.ours_epochs} epochs; reference: its own",
+        f"unbatched regime x {args.ref_epochs} epochs), NameLoss s=1,",
+        "Adam 1e-4, evaluated identically (Pearson r and the",
         "reference's mean-squared-error 'rmsd' columns, quirk C4).",
         "",
         "Generated by `python benchmarks/accuracy.py`.",

@@ -81,7 +81,8 @@ def run_hyper(
         for entry in candidates:
             cfg, state, trainer = entry
             state = trainer.fit(
-                train_s, val_s, epochs=rung_epochs, state=state, verbose=False
+                train_s, val_s, epochs=rung_epochs, state=state, verbose=False,
+                early_stop_patience=5,  # reference main.py:298-304
             )
             entry[1] = state
             vl = state.history["val_loss"][-1]
@@ -95,10 +96,12 @@ def run_hyper(
         rung += 1
 
     best_cfg, best_state, best_trainer = candidates[0]
-    # final fit with the plateau schedule of the reference's post-search
-    # training (reference main.py:334-339)
+    # post-search fit: the full epoch budget with the plateau schedule,
+    # like the reference's longer final training run (main.py:331-339),
+    # early-stopped on validation
     best_state = best_trainer.fit(
-        train_s, val_s, epochs=rung_epochs, state=best_state, verbose=False
+        train_s, val_s, epochs=epochs, state=best_state, verbose=False,
+        early_stop_patience=5,
     )
     with open(os.path.join(tuning_path, "results.json"), "w") as f:
         json.dump(results, f, indent=1)

@@ -283,12 +283,16 @@ class Trainer:
         checkpoint_path: Optional[str] = None,
         verbose: bool = True,
         callbacks: Sequence[Callable] = (),
+        early_stop_patience: Optional[int] = None,
     ) -> TrainState:
+        """``early_stop_patience``: stop when val_loss has not improved
+        for that many epochs (reference hyper-search EarlyStopping,
+        main.py:298-304)."""
         epochs = epochs or self.tcfg.epochs
         state = state or self.init_state()
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
         if self.mesh is not None:
-            from ..parallel.sharding import shard_params
+            from ..parallel.sharding import param_specs, shard_params
 
             if self.tcfg.batch_size % self.mesh.shape["data"]:
                 raise ValueError(
@@ -296,14 +300,33 @@ class Trainer:
                     f"data axis {self.mesh.shape['data']}"
                 )
             state.params = shard_params(state.params, self.mesh, self.tensor_parallel)
-            state.opt_state = jax.tree_util.tree_map(
-                lambda x: jax.device_put(
-                    x,
-                    jax.sharding.NamedSharding(self.mesh, jax.sharding.PartitionSpec()),
+            p_specs = param_specs(state.params, self.tensor_parallel)
+            param_def = jax.tree_util.tree_structure(state.params)
+
+            def place(node):
+                # Adam mu/nu mirror the parameter sharding; scalars replicate
+                if jax.tree_util.tree_structure(node) == param_def:
+                    return jax.tree_util.tree_map(
+                        lambda x, s: jax.device_put(
+                            x, jax.sharding.NamedSharding(self.mesh, s)
+                        ),
+                        node, p_specs,
+                    )
+                return jax.tree_util.tree_map(
+                    lambda x: jax.device_put(
+                        x,
+                        jax.sharding.NamedSharding(
+                            self.mesh, jax.sharding.PartitionSpec()
+                        ),
+                    )
+                    if hasattr(x, "shape")
+                    else x,
+                    node,
                 )
-                if hasattr(x, "shape")
-                else x,
-                state.opt_state,
+
+            state.opt_state = jax.tree_util.tree_map(
+                place, state.opt_state,
+                is_leaf=lambda n: jax.tree_util.tree_structure(n) == param_def,
             )
         loader = FragmentLoader(
             train_samples,
@@ -317,6 +340,8 @@ class Trainer:
         # reference main.py:50-51)
         snapshot = None
         nan_retries = 0
+        stall = 0
+        best_seen = float("inf")
         compiled = self.tcfg.compiled_epochs and self.mesh is None
         for _ in range(epochs):
             self._set_lr(state)
@@ -400,4 +425,18 @@ class Trainer:
                 self.save_checkpoint(checkpoint_path, state)
             for cb in callbacks:
                 cb(state, logs)
+            if early_stop_patience and "val_loss" in logs:
+                if logs["val_loss"] < best_seen - 1e-12:
+                    best_seen = logs["val_loss"]
+                    stall = 0
+                else:
+                    stall += 1
+                    if stall >= early_stop_patience:
+                        if verbose:
+                            print(
+                                f"early stop: no val improvement in "
+                                f"{early_stop_patience} epochs",
+                                flush=True,
+                            )
+                        break
         return state

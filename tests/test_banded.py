@@ -291,3 +291,49 @@ class TestTrainableBanded:
         grads = jax.grad(loss)(params)
         for leaf in jax.tree_util.tree_leaves(grads):
             assert np.isfinite(np.asarray(leaf)).all()
+
+
+def test_apply_banded_fast_config_close_to_exact():
+    """The serving fast configuration (Chebyshev edge stage + bf16
+    compute) must track the exact f32 forward tightly (ServingModel
+    precision='fast'; edge fit error ~4e-7, bf16 eps dominates)."""
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.data.embeddings import load_standards
+    from nmrgnn_tpu.models import gnn
+    from nmrgnn_tpu.models.infer import apply_banded
+    from nmrgnn_tpu.ops.edgefn import fit_edge_chebyshev
+
+    cfg = ModelConfig(dropout=False, noise=0.0)
+    rng = np.random.default_rng(5)
+    n, k, v = 256, 16, 10
+    atoms = np.zeros((n, v), np.float32)
+    atoms[np.arange(n), rng.integers(0, v, n)] = 1.0
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-30, 30, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.35, (n, k)).astype(np.float32)
+    dists[2, :] = 0.0
+    inv = np.asarray(inv_degree_from_nlist(jnp.asarray(nlist)))
+    g = Graph(*[jnp.asarray(a) for a in (atoms, nlist, dists, inv)])
+    params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+    plan = band_plan(nlist, dists)
+    cheb = fit_edge_chebyshev(
+        params["edge_fc"], rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+        rbf_count=cfg.edge_hidden_size, activation=cfg.fc_activation,
+        degree=64,
+    )
+
+    exact = np.asarray(gnn.apply(params, cfg, g))
+    fast = np.asarray(
+        apply_banded(
+            params, cfg.replace(compute_dtype="bfloat16"), g, plan,
+            cheb=cheb, interpret=True,
+        )
+    )
+    assert np.corrcoef(exact, fast)[0, 1] > 0.9999
+    np.testing.assert_allclose(fast, exact, rtol=0.05, atol=1.0)
+
+    # cheb alone in f32 is essentially exact
+    poly_f32 = np.asarray(apply_banded(params, cfg, g, plan, cheb=cheb,
+                                       interpret=True))
+    np.testing.assert_allclose(poly_f32, exact, rtol=1e-4, atol=1e-3)
