@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.abspath(__file__))
 CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 PDB = "/root/reference/tests/108M.pdb"
 WARMUP = 3
-ITERS = 20
+ITERS = 36
 
 
 def build_inputs():
@@ -108,9 +108,12 @@ def measure(iters=ITERS, warmup=WARMUP, fast=True):
         peaks = lax.fori_loop(0, iters, body, jnp.zeros(g.atoms.shape[0]))
         return jnp.sum(peaks)
 
-    f = jax.jit(chained, static_argnums=2)
+    # dynamic trip count: ONE compilation serves both anchors (each
+    # tunnel AOT compile costs tens of seconds)
+    f = jax.jit(chained)
 
     def timed(k):
+        k = jnp.int32(k)
         float(f(params, g, k))  # compile + warm
         best = float("inf")
         for _ in range(warmup):
@@ -119,9 +122,11 @@ def measure(iters=ITERS, warmup=WARMUP, fast=True):
             best = min(best, time.perf_counter() - t0)
         return best
 
-    k_hi = iters
-    t_lo, t_hi = timed(1), timed(k_hi)
-    dt = max((t_hi - t_lo) / (k_hi - 1), 1e-9)
+    # two LONG anchors: both device-dominated, so the ~0.5 ms tunnel
+    # round-trip jitter cancels in the slope instead of dividing into it
+    k_lo, k_hi = max(iters // 3, 1), iters
+    t_lo, t_hi = timed(k_lo), timed(k_hi)
+    dt = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
     edges_per_fwd = n_real_edges * config.mp_layers
     return edges_per_fwd / dt, dt, n_real_edges
 
@@ -175,12 +180,14 @@ def main():
         f"cpu baseline (exact f32 gather) {base:.3e} edges/s",
         file=sys.stderr,
     )
-    eps_x, dt_x, _ = measure(fast=False)
-    print(
-        f"# exact f32 gather path on device: {dt_x*1e3:.3f} ms, "
-        f"{eps_x:.3e} edges/s ({eps_x/base if base else 1.0:.0f}x cpu)",
-        file=sys.stderr,
-    )
+    if os.environ.get("NMRGNN_TPU_BENCH_FULL"):
+        # optional second measurement (adds minutes of tunnel round trips)
+        eps_x, dt_x, _ = measure(fast=False)
+        print(
+            f"# exact f32 gather path on device: {dt_x*1e3:.3f} ms, "
+            f"{eps_x:.3e} edges/s ({eps_x/base if base else 1.0:.0f}x cpu)",
+            file=sys.stderr,
+        )
 
 
 if __name__ == "__main__":

@@ -32,6 +32,7 @@ from .library import (
     universe2graph,
 )
 from .models.gnn import apply, apply_batched, count_params, init_params
+from .models.serving import ServingModel
 from .train.losses import name_loss
 from .train.metrics import name_corr, name_count, name_rmsd, type_mask
 from .version import __version__
@@ -55,6 +56,7 @@ __all__ = [
     "apply_batched",
     "count_params",
     "init_params",
+    "ServingModel",
     "name_loss",
     "name_corr",
     "name_count",

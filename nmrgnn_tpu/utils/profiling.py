@@ -48,13 +48,16 @@ class TimingBuckets:
 def device_time(
     step: Callable[[jnp.ndarray], jnp.ndarray],
     carry0: jnp.ndarray,
-    iters: int = 32,
-    repeats: int = 3,
+    iters: int = 48,
+    repeats: int = 5,
 ) -> float:
     """Seconds per invocation of ``step`` (carry -> carry), measured by
-    chaining ``iters`` iterations in one jitted fori_loop ending in a
-    scalar readback, at two iteration counts (slope removes dispatch and
-    transfer overhead)."""
+    chaining iterations in one jitted fori_loop ending in a scalar
+    readback, at TWO LONG iteration counts (iters//3 and iters); the
+    slope removes dispatch/transfer overhead. Both anchors are
+    device-time-dominated — an anchor at K=1 (round 1) is dominated by
+    the tunnel round trip, whose ~0.5 ms jitter divided by the chain
+    length produced +-30% run-to-run swings."""
     from jax import lax
 
     def chained(c0, k):
@@ -71,5 +74,6 @@ def device_time(
             best = min(best, time.perf_counter() - t0)
         return best
 
-    t_lo, t_hi = timed(1), timed(iters)
-    return max((t_hi - t_lo) / (iters - 1), 1e-9)
+    k_lo = max(iters // 3, 1)
+    t_lo, t_hi = timed(k_lo), timed(iters)
+    return max((t_hi - t_lo) / (iters - k_lo), 1e-9)
