@@ -103,6 +103,47 @@ def band_plan(
     )
 
 
+def band_plan_frames(
+    nlist_stack: np.ndarray,   # i32[F, N, K]
+    edges_stack: np.ndarray,   # f32[F, N, K]
+    block_rows: int = 128,
+    align: int = 128,
+    w_buckets=(256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 2048, 3072, 4096),
+) -> BandPlan:
+    """Union band plan covering EVERY frame of a stacked trajectory batch
+    (same atoms/ordering, per-frame neighbor lists) — one compiled kernel
+    set serves the whole batch."""
+    nlist_stack = np.asarray(nlist_stack)
+    edges_stack = np.asarray(edges_stack)
+    f, n, k = nlist_stack.shape
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    t = n_pad // block_rows
+    lo = np.zeros(t, np.int64)
+    need = np.zeros(t, np.int64)
+    for i in range(t):
+        sel = slice(i * block_rows, min((i + 1) * block_rows, n))
+        real = edges_stack[:, sel] > 0
+        if not real.any():
+            continue
+        idx = nlist_stack[:, sel][real]
+        lo_i = (int(idx.min()) // align) * align
+        lo[i] = lo_i
+        need[i] = int(idx.max()) - lo_i + 1
+    w = int(need.max()) if t else align
+    for b in w_buckets:
+        if w <= b:
+            w = b
+            break
+    else:
+        w = _round_up(w, 512)
+    w = min(w, n_pad) if n_pad >= 128 else w
+    w = max(w, 128)
+    lo = np.minimum(lo, max(n_pad - w, 0))
+    return BandPlan(
+        lo=lo.astype(np.int32), window=w, block_rows=block_rows, n_padded=n_pad
+    )
+
+
 def plan_covers(plan: BandPlan, nlist: np.ndarray, edges: np.ndarray) -> bool:
     """Whether a (new frame's) real neighbors all fall inside the plan's
     per-tile windows — the verify half of verify-and-reuse across

@@ -54,3 +54,44 @@ def test_serving_model_trajectory():
         np.testing.assert_allclose(p, want, rtol=2e-3, atol=2e-3)
         peaks.append(p)
     assert np.mean((peaks[0] - peaks[1]) ** 2) > 0  # frames differ
+
+
+def test_predict_frames_matches_per_frame():
+    """Batched multi-frame serving (one device dispatch) equals
+    per-frame predict on a real trajectory."""
+    struct = read_structure(PDB_7LGI)
+    graphs = [structure2graph(struct, 16, frame=i) for i in range(3)]
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    sm = ServingModel(params, CFG, use_pallas=False)
+    want = np.stack([sm.predict(g) for g in graphs])
+    sm2 = ServingModel(params, CFG, use_pallas=False)
+    got = sm2.predict_frames(graphs)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_vmapped_banded_matches_per_frame_interpret():
+    """The batched banded math (vmapped Pallas kernels, union plan) is
+    frame-wise identical to the single-frame banded forward."""
+    from nmrgnn_tpu.models.infer import apply_banded
+    from nmrgnn_tpu.ops.banded import band_plan_frames
+
+    struct = read_structure(PDB_7LGI)
+    graphs = [structure2graph(struct, 16, frame=i) for i in range(2)]
+    order = rcm_order(np.asarray(graphs[0].nlist), np.asarray(graphs[0].edges))
+    graphs = [permute_graph(g, order, pin_zero=False)[0] for g in graphs]
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    stack = Graph(*[
+        jnp.asarray(np.stack([np.asarray(getattr(g, f)) for g in graphs]))
+        for f in Graph._fields
+    ])
+    plan = band_plan_frames(np.asarray(stack.nlist), np.asarray(stack.edges))
+    batched = jax.vmap(
+        lambda g: apply_banded(params, CFG, g, plan, interpret=True)
+    )(stack)
+    for i, g in enumerate(graphs):
+        want = np.asarray(
+            apply_banded(params, CFG, Graph(*[jnp.asarray(a) for a in g]),
+                         plan, interpret=True)
+        )
+        np.testing.assert_allclose(np.asarray(batched[i]), want,
+                                   rtol=1e-5, atol=1e-5)
