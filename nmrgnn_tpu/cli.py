@@ -52,9 +52,19 @@ def _jax():
               help="shard batches over N devices (0 = single device)")
 @click.option("--tensor-parallel/--no-tensor-parallel", default=False,
               help="also shard MP/FC kernels over the remaining devices")
+@click.option("--lr-schedule", default="plateau",
+              type=click.Choice(["plateau", "cosine"]),
+              help="plateau = reference ReduceLROnPlateau parity; cosine = "
+                   "warmup + cosine decay (native recipe)")
+@click.option("--warmup-epochs", default=0)
+@click.option("--ema-decay", default=0.0,
+              help="params EMA for eval/export (0 = off; try 0.999)")
+@click.option("--restore-best/--no-restore-best", default=False,
+              help="export the best-validation weights instead of the last")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
           tensorboard, load, loss_balance, batch_size, pad_to, config_path,
-          data_parallel, tensor_parallel):
+          data_parallel, tensor_parallel, lr_schedule, warmup_epochs,
+          ema_decay, restore_best):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -73,6 +83,8 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
     tcfg = TrainConfig(
         epochs=epochs, validation=validation, loss_balance=loss_balance,
         checkpoint_path=checkpoint_path, batch_size=batch_size, pad_to=pad_to,
+        lr_schedule=lr_schedule, warmup_epochs=warmup_epochs,
+        ema_decay=ema_decay, restore_best=restore_best,
     )
     click.echo(f"Loading from {len(tfrecords)} files")
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
@@ -113,7 +125,7 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
         train_s, val_s, epochs=epochs, state=state,
         checkpoint_path=checkpoint_path, callbacks=callbacks,
     )
-    save_model(name, state.params, cfg)
+    save_model(name, state.eval_params, cfg)
     # history pickle, reference main.py:84-90
     pfile, i = name + "-history-0.pb", 0
     while os.path.exists(pfile):

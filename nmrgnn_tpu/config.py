@@ -87,6 +87,21 @@ class TrainConfig:
     lr_reduce_factor: float = 0.99
     lr_patience: int = 4
     min_lr: float = 1e-4
+    # Learning-rate schedule:
+    #   "plateau" — ReduceLROnPlateau, reference parity (main.py:54-55)
+    #   "cosine"  — linear warmup over ``warmup_epochs`` then cosine decay
+    #               from ``learning_rate`` to ``cosine_final_lr``. The
+    #               TPU-native default recipe: a decayed endpoint removes
+    #               the constant-LR noise floor the reference trains at.
+    lr_schedule: str = "plateau"
+    warmup_epochs: int = 0
+    cosine_final_lr: float = 1e-6
+    # Exponential moving average of params (0 = off). When enabled the
+    # EMA weights are used for validation and final export; raw weights
+    # keep training. Classic variance-reduction at evaluation time.
+    ema_decay: float = 0.0
+    # Restore the best-validation-loss weights at the end of fit().
+    restore_best: bool = False
     # Padded fragment size for static-shape batching (new: the reference
     # trains shape-polymorphically on one fragment at a time, main.py:79-80;
     # we pad to fixed N for XLA).

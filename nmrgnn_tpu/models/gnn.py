@@ -106,8 +106,14 @@ def init_params(
                 }
             )
     else:
+        # Keras glorot_uniform fan convention for rank-3 weights
+        # (reference layers.py:13-18, default initializer): the leading
+        # axes are a "receptive field", so for w[F, F, E]
+        # fan_in = F*F, fan_out = E*F  ->  limit ~ 0.0095 at F=256, E=3.
+        # (A naive fan_in=fan_out=F would start ~11x too large and badly
+        # hurt from-scratch trainability.)
         mp = [
-            {"w": _glorot(keys[next(ki)], (F, F, E), F, F)}
+            {"w": _glorot(keys[next(ki)], (F, F, E), F * F, E * F)}
             for _ in range(config.mp_layers)
         ]
 

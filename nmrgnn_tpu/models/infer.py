@@ -120,13 +120,19 @@ def apply_blocksparse(
     return peaks
 
 
-def _edge_features(params, config, edges):
+def _edge_features(params, config, edges, mask=None):
     """RBF + EdgeFC + masking, shared by all fast-path forwards
     (reference: model.py:251-261). Matmuls honor config.compute_dtype
-    (f32 accumulation) like gnn.apply."""
+    (f32 accumulation) like gnn.apply.
+
+    ``mask`` overrides the padding mask; callers that perturb ``edges``
+    (training-time Gaussian distance noise) MUST pass the mask computed
+    from the ORIGINAL edges — the reference masks on pre-noise distances
+    (model.py:251-253), and noised padding slots (d=0+noise) would
+    otherwise land inside the RBF domain and emit spurious messages."""
     fc_act = get_activation(config.fc_activation)
     compute_dtype = jnp.dtype(config.compute_dtype)
-    edge_mask = (edges > 0).astype(jnp.float32)[..., None]
+    edge_mask = (edges > 0).astype(jnp.float32)[..., None] if mask is None else mask
     e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
     e = e * edge_mask
     for i, p in enumerate(params["edge_fc"]):
@@ -244,13 +250,16 @@ def apply_banded_trainable(
     """
     atoms, nlist, edges, inv_degree = graph
     n = atoms.shape[0]
+    # padding mask from the ORIGINAL distances, before noise
+    # (reference model.py:251 masks pre-noise; see _edge_features)
+    edge_mask = (edges > 0).astype(jnp.float32)[..., None]
     if training and config.noise > 0:
         if rng is None:
             raise ValueError("training=True requires rng")
         rng, nrng = jax.random.split(rng)
         edges = edges + config.noise * jax.random.normal(nrng, edges.shape, edges.dtype)
 
-    e = _edge_features(params, config, edges)
+    e = _edge_features(params, config, edges, mask=edge_mask)
     M = build_band_df(nlist, e, plan, interpret=interpret)
 
     pad = plan.n_padded - n

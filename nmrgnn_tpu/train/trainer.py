@@ -110,6 +110,14 @@ class TrainState:
     best_val: float = float("inf")
     plateau: int = 0
     history: dict = dataclasses.field(default_factory=dict)
+    # exponential moving average of params (None when ema_decay == 0);
+    # used for validation + export while raw params keep training
+    ema_params: Optional[dict] = None
+
+    @property
+    def eval_params(self) -> dict:
+        """Weights to evaluate/export: EMA when enabled, else raw."""
+        return self.ema_params if self.ema_params is not None else self.params
 
 
 class Trainer:
@@ -153,11 +161,20 @@ class Trainer:
                 yt.reshape(-1, 3), peaks.reshape(-1), loss_idx, s=s
             )
 
-        def train_step(params, opt_state, graph, y, w, rng):
+        decay = self.tcfg.ema_decay
+
+        def ema_update(ema, params):
+            if decay <= 0 or ema is None:
+                return ema
+            return jax.tree_util.tree_map(
+                lambda e, p: decay * e + (1.0 - decay) * p, ema, params
+            )
+
+        def train_step(params, opt_state, ema, graph, y, w, rng):
             loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w, rng)
             updates, opt_state = tx.update(grads, opt_state, params)
             params = optax.apply_updates(params, updates)
-            return params, opt_state, loss
+            return params, opt_state, ema_update(ema, params), loss
 
         def eval_step(params, graph, y, w):
             peaks = gnn.apply_batched(params, cfg, graph)
@@ -167,26 +184,26 @@ class Trainer:
             moments = jnp.stack([_moments(yt, yp, idx) for _, _, idx in specs])
             return loss, moments
 
-        def train_epoch(params, opt_state, graphs, ys, ws, rng):
+        def train_epoch(params, opt_state, ema, graphs, ys, ws, rng):
             """One jitted scan over an epoch's stacked batches: a single
             device dispatch and one [steps]-loss readback per epoch."""
 
             def body(carry, batch):
-                params, opt_state, rng = carry
+                params, opt_state, ema, rng = carry
                 rng, srng = jax.random.split(rng)
                 graph, y, w = batch
                 loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w, srng)
                 updates, opt_state = tx.update(grads, opt_state, params)
                 params = optax.apply_updates(params, updates)
-                return (params, opt_state, rng), loss
+                return (params, opt_state, ema_update(ema, params), rng), loss
 
-            (params, opt_state, _), losses = jax.lax.scan(
-                body, (params, opt_state, rng), (graphs, ys, ws)
+            (params, opt_state, ema, _), losses = jax.lax.scan(
+                body, (params, opt_state, ema, rng), (graphs, ys, ws)
             )
-            return params, opt_state, losses
+            return params, opt_state, ema, losses
 
-        self.train_step = jax.jit(train_step, donate_argnums=(0, 1))
-        self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1))
+        self.train_step = jax.jit(train_step, donate_argnums=(0, 1, 2))
+        self.train_epoch = jax.jit(train_epoch, donate_argnums=(0, 1, 2))
         self.eval_step = jax.jit(eval_step)
 
     # -- state / checkpoint ------------------------------------------------
@@ -206,6 +223,9 @@ class Trainer:
         save_model(path, state.params, self.config)
         with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
             f.write(serialization.to_bytes(state.opt_state))
+        if state.ema_params is not None:
+            with open(os.path.join(path, "ema.msgpack"), "wb") as f:
+                f.write(serialization.to_bytes(state.ema_params))
         with open(os.path.join(path, "train_state.pkl"), "wb") as f:
             pickle.dump(
                 {
@@ -232,6 +252,10 @@ class Trainer:
                 state.opt_state = serialization.from_bytes(
                     self._tx.init(params), f.read()
                 )
+        ema_file = os.path.join(path, "ema.msgpack")
+        if os.path.exists(ema_file):
+            with open(ema_file, "rb") as f:
+                state.ema_params = serialization.from_bytes(params, f.read())
         meta_file = os.path.join(path, "train_state.pkl")
         if os.path.exists(meta_file):
             with open(meta_file, "rb") as f:
@@ -335,6 +359,9 @@ class Trainer:
             shuffle=True,
             seed=self.tcfg.seed,
         )
+        ema_on = self.tcfg.ema_decay > 0
+        if ema_on and state.ema_params is None:
+            state.ema_params = jax.tree_util.tree_map(jnp.array, state.params)
         # in-memory epoch snapshot for NaN recovery (failure-detection
         # subsystem; the reference's only recovery is manual --load,
         # reference main.py:50-51)
@@ -342,8 +369,20 @@ class Trainer:
         nan_retries = 0
         stall = 0
         best_seen = float("inf")
+        best_restore = float("inf")
+        best_weights = None
+        total_epochs = state.epoch + epochs
         compiled = self.tcfg.compiled_epochs and self.mesh is None
         for _ in range(epochs):
+            if self.tcfg.lr_schedule == "cosine":
+                peak = self.config.learning_rate
+                lo = self.tcfg.cosine_final_lr
+                wu = self.tcfg.warmup_epochs
+                if state.epoch < wu:
+                    state.lr = peak * (state.epoch + 1) / wu
+                else:
+                    t = (state.epoch - wu) / max(total_epochs - wu, 1)
+                    state.lr = lo + 0.5 * (peak - lo) * (1.0 + np.cos(np.pi * t))
             self._set_lr(state)
             epoch_loss, nb = 0.0, 0
             if compiled:
@@ -355,8 +394,11 @@ class Trainer:
                 ys = jnp.stack([b[1] for b in batches])
                 ws = jnp.stack([b[2] for b in batches])
                 rng, srng = jax.random.split(rng)
-                state.params, state.opt_state, losses = self.train_epoch(
-                    state.params, state.opt_state, graphs, ys, ws, srng
+                state.params, state.opt_state, state.ema_params, losses = (
+                    self.train_epoch(
+                        state.params, state.opt_state, state.ema_params,
+                        graphs, ys, ws, srng,
+                    )
                 )
                 losses = np.asarray(losses)
                 epoch_loss = float(losses.sum())
@@ -371,8 +413,11 @@ class Trainer:
                     else:
                         gj = Graph(*[jnp.asarray(a) for a in g])
                         yj, wj = jnp.asarray(y), jnp.asarray(w)
-                    state.params, state.opt_state, loss = self.train_step(
-                        state.params, state.opt_state, gj, yj, wj, srng
+                    state.params, state.opt_state, state.ema_params, loss = (
+                        self.train_step(
+                            state.params, state.opt_state, state.ema_params,
+                            gj, yj, wj, srng,
+                        )
                     )
                     epoch_loss += float(loss)
                     nb += 1
@@ -382,8 +427,8 @@ class Trainer:
                         f"non-finite training loss at epoch {state.epoch + 1}"
                     )
                 nan_retries += 1
-                state.params, state.opt_state = jax.tree_util.tree_map(
-                    jnp.array, snapshot
+                state.params, state.opt_state, state.ema_params = (
+                    jax.tree_util.tree_map(jnp.array, snapshot)
                 )
                 state.lr = max(state.lr * 0.5, self.tcfg.min_lr)
                 if verbose:
@@ -394,26 +439,32 @@ class Trainer:
                     )
                 continue
             snapshot = jax.tree_util.tree_map(
-                jnp.array, (state.params, state.opt_state)
+                jnp.array, (state.params, state.opt_state, state.ema_params)
             )
             state.epoch += 1
             logs = {"loss": epoch_loss / max(nb, 1), "lr": state.lr}
             if val_samples:
-                val = self.evaluate(val_samples, state.params)
+                val = self.evaluate(val_samples, state.eval_params)
                 logs.update({f"val_{k}": v for k, v in val.items()})
                 # ReduceLROnPlateau (reference main.py:54-55)
-                if logs["val_loss"] < state.best_val - 1e-12:
-                    state.best_val = logs["val_loss"]
-                    state.plateau = 0
-                else:
-                    state.plateau += 1
-                    if state.plateau >= self.tcfg.lr_patience:
-                        if state.lr > self.tcfg.min_lr:
-                            state.lr = max(
-                                state.lr * self.tcfg.lr_reduce_factor,
-                                self.tcfg.min_lr,
-                            )
+                if self.tcfg.lr_schedule == "plateau":
+                    if logs["val_loss"] < state.best_val - 1e-12:
+                        state.best_val = logs["val_loss"]
                         state.plateau = 0
+                    else:
+                        state.plateau += 1
+                        if state.plateau >= self.tcfg.lr_patience:
+                            if state.lr > self.tcfg.min_lr:
+                                state.lr = max(
+                                    state.lr * self.tcfg.lr_reduce_factor,
+                                    self.tcfg.min_lr,
+                                )
+                            state.plateau = 0
+                if self.tcfg.restore_best and logs["val_loss"] < best_restore:
+                    best_restore = logs["val_loss"]
+                    best_weights = jax.tree_util.tree_map(
+                        jnp.array, state.eval_params
+                    )
             for k, v in logs.items():
                 state.history.setdefault(k, []).append(v)
             if verbose:
@@ -439,4 +490,11 @@ class Trainer:
                                 flush=True,
                             )
                         break
+        if best_weights is not None:
+            # hand back the best-validation weights (through the EMA slot
+            # when EMA is on so .eval_params keeps meaning "export these")
+            if state.ema_params is not None:
+                state.ema_params = best_weights
+            else:
+                state.params = best_weights
         return state

@@ -275,6 +275,26 @@ class TestTrainableBanded:
                 err_msg=jax.tree_util.keystr(path),
             )
 
+    def test_training_mode_matches_gather_path(self):
+        """With a SHARED rng, the training-mode banded forward must equal
+        gnn.apply exactly: same noise/dropout draws, and — critically —
+        the padding mask computed from PRE-noise distances (reference
+        model.py:251-253). A post-noise mask lets half the padding slots
+        (d=0+noise>0) emit spurious RBF messages (ADVICE r2, high)."""
+        from nmrgnn_tpu.models import gnn
+        from nmrgnn_tpu.models.infer import apply_banded_trainable
+
+        params, cfg, g, plan = self._setup()
+        cfg = cfg.replace(noise=0.025, dropout=True)
+        rng = jax.random.PRNGKey(42)
+        want = np.asarray(gnn.apply(params, cfg, g, training=True, rng=rng))
+        got = np.asarray(
+            apply_banded_trainable(
+                params, cfg, g, plan, training=True, rng=rng, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
     def test_training_mode_runs_and_grads_finite(self):
         from nmrgnn_tpu.models.infer import apply_banded_trainable
 

@@ -87,6 +87,47 @@ class TestTrainer:
         assert "h_rmsd" in out and out["avg_ha_count"] >= 0
 
 
+class TestNativeRecipe:
+    def test_cosine_schedule_and_ema(self, samples, tmp_path):
+        """Cosine warmup+decay drives lr; EMA weights exist, differ from
+        the raw weights, and are the ones evaluated/checkpointed."""
+        tcfg = TrainConfig(
+            epochs=6, batch_size=4, pad_to=64, lr_schedule="cosine",
+            warmup_epochs=2, cosine_final_lr=1e-5, ema_decay=0.9,
+        )
+        tr = Trainer(SMALL, tcfg)
+        ckpt = str(tmp_path / "ckpt")
+        state = tr.fit(samples[:16], samples[16:20], verbose=False,
+                       checkpoint_path=ckpt)
+        lrs = state.history["lr"]
+        # warmup ascends, then decays toward the floor
+        assert lrs[0] < lrs[1] and lrs[-1] < lrs[2]
+        assert state.ema_params is not None
+        raw = np.asarray(state.params["out"]["kernel"])
+        ema = np.asarray(state.ema_params["out"]["kernel"])
+        assert not np.allclose(raw, ema)
+        assert state.eval_params is state.ema_params
+        restored = tr.load_checkpoint(ckpt)
+        np.testing.assert_allclose(
+            np.asarray(restored.ema_params["out"]["kernel"]), ema
+        )
+
+    def test_restore_best(self, samples):
+        """restore_best hands back the weights from the best-val epoch."""
+        tcfg = TrainConfig(
+            epochs=5, batch_size=4, pad_to=64, restore_best=True,
+        )
+        best_by_epoch = []
+        tr = Trainer(SMALL, tcfg)
+        state = tr.fit(
+            samples[:16], samples[16:20], verbose=False,
+            callbacks=[lambda st, logs: best_by_epoch.append(logs["val_loss"])],
+        )
+        # evaluation of the returned params reproduces the best epoch's val
+        out = tr.evaluate(samples[16:20], state.eval_params)
+        assert out["loss"] == pytest.approx(min(best_by_epoch), rel=1e-4)
+
+
 class TestNanRecovery:
     def test_nan_loss_recovers(self, samples):
         """A diverging run (huge lr) restores the last finite snapshot
