@@ -359,6 +359,127 @@ def mp_banded(
 
 
 # ---------------------------------------------------------------------------
+# Traced-lo / partial-sum variants for the partitioned (multi-chip) path.
+#
+# Inside shard_map every shard runs the SAME program, so the band plan's
+# per-tile window starts must be a traced per-shard array, not baked host
+# constants; and the per-layer aggregation must be split into partial
+# sums (interior band + halo block) that are added BEFORE the activation
+# — which also lets XLA overlap the halo all_to_all with the interior
+# kernel (SURVEY.md §2.3 "halo exchange overlapped with local
+# aggregation").
+
+
+def build_band_tracedlo(
+    nlist: jnp.ndarray,       # i32[M, K] (M multiple of block_rows)
+    edge_feats: jnp.ndarray,  # f32[M, K, E]
+    lo: jnp.ndarray,          # i32[T] traced window starts (T = M/B)
+    window: int,
+    block_rows: int = 128,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """build_band with traced per-tile window starts. References outside
+    a tile's window simply never match a lane, so out-of-window entries
+    (e.g. halo slots when building the interior band) are excluded."""
+    m, k = nlist.shape
+    e = edge_feats.shape[-1]
+    assert m % block_rows == 0, (m, block_rows)
+    t = m // block_rows
+    e_t = jnp.moveaxis(edge_feats, -1, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((block_rows, k), lambda i, lo: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((e, block_rows, k), lambda i, lo: (0, i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e, block_rows, window), lambda i, lo: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _build_band_kernel,
+        n_edge_channels=e,
+        neighbor_k=k,
+        window=window,
+        block_rows=block_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, e, block_rows, window), out_dtype),
+        interpret=interpret,
+    )(lo.astype(jnp.int32), nlist.astype(jnp.int32), e_t)
+
+
+def _mp_banded_partial_kernel(
+    lo_ref,      # i32[T] scalar prefetch
+    m_ref,       # [1, E, B, W]
+    table_ref,   # [Nt, F] node table the windows slice (VMEM-resident)
+    w_ref,       # [E, F, F]
+    out_ref,     # [B, F] partial-sum tile (no inv/activation/residual)
+    *,
+    n_edge_channels: int,
+    window: int,
+):
+    t = pl.program_id(0)
+    lo = pl.multiple_of(lo_ref[t], 128)
+    win = table_ref[pl.ds(lo, window), :]
+    acc = jnp.zeros(out_ref.shape, jnp.float32)
+    for n in range(n_edge_channels):
+        h = jnp.dot(m_ref[0, n], win, preferred_element_type=jnp.float32)
+        acc += jnp.dot(
+            h.astype(w_ref.dtype), w_ref[n], preferred_element_type=jnp.float32
+        )
+    out_ref[...] = acc.astype(out_ref.dtype)
+
+
+def mp_banded_partial(
+    M: jnp.ndarray,        # [T, E, B, W]
+    lo: jnp.ndarray,       # i32[T] traced
+    table: jnp.ndarray,    # [Nt, F] window source (rows the band references)
+    w: jnp.ndarray,        # [F, F, E]
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Partial MP aggregation sum_n (M_n @ table_window) @ w_n -> f32[T*B, F].
+
+    No inv_degree scaling, activation or residual — callers combine
+    several partial sums (interior + halo) first. ``table`` may have any
+    row count >= max(lo) + W (it is NOT required to equal T*B)."""
+    T, E, B, W = M.shape
+    F = table.shape[-1]
+    w_t = jnp.moveaxis(w, -1, 0).astype(table.dtype)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(T,),
+        in_specs=[
+            pl.BlockSpec((1, E, B, W), lambda t, lo: (t, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),  # full table
+            pl.BlockSpec((E, F, F), lambda t, lo: (0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, F), lambda t, lo: (t, 0), memory_space=pltpu.VMEM),
+    )
+    kernel = functools.partial(
+        _mp_banded_partial_kernel, n_edge_channels=E, window=W
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((T * B, F), jnp.float32),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * T * E * B * W * F + 2 * T * E * B * F * F,
+            bytes_accessed=M.size * M.dtype.itemsize
+            + table.size * table.dtype.itemsize + T * B * F * 4,
+            transcendentals=0,
+        ),
+    )(lo.astype(jnp.int32), M, table, w_t)
+
+
+# ---------------------------------------------------------------------------
 # Differentiable wrappers — training THROUGH the fast path (the reference
 # trains through its hot op via Keras autodiff, reference layers.py:39-40;
 # round 1's Pallas kernels were inference-only, VERDICT item 4).

@@ -1,4 +1,9 @@
-from .halo import apply_partitioned_halo, make_halo_plan
+from .halo import (
+    apply_partitioned_banded,
+    apply_partitioned_halo,
+    make_banded_halo_plan,
+    make_halo_plan,
+)
 from .mesh import best_factorization, initialize_distributed, make_mesh
 from .partition import apply_partitioned, jit_partitioned_forward, pad_to_multiple
 from .sharding import (
@@ -10,7 +15,9 @@ from .sharding import (
 )
 
 __all__ = [
+    "apply_partitioned_banded",
     "apply_partitioned_halo",
+    "make_banded_halo_plan",
     "make_halo_plan",
     "best_factorization",
     "initialize_distributed",

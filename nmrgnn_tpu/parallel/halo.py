@@ -49,7 +49,11 @@ def _round_up(x, m):
 
 
 def make_halo_plan(nlist: np.ndarray, n_shards: int, halo_multiple: int = 8) -> HaloPlan:
-    """Build the exchange plan on host. Atom count must divide n_shards."""
+    """Build the exchange plan on host. Atom count must divide n_shards.
+
+    Fully vectorized (unique + searchsorted per requester shard) — no
+    per-boundary-edge Python loop, so whole-protein multi-host plans
+    build in O(D * N*K log) numpy time."""
     nlist = np.asarray(nlist)
     n, k = nlist.shape
     if n % n_shards:
@@ -57,45 +61,229 @@ def make_halo_plan(nlist: np.ndarray, n_shards: int, halo_multiple: int = 8) -> 
     m = n // n_shards
     owner = nlist // m  # [n, K] owner shard of each referenced row
 
-    # per (owner s, requester t): sorted unique rows of s needed by t
-    send: list = [[None] * n_shards for _ in range(n_shards)]
+    # pass 1: per requester t, the sorted unique external rows it needs
+    # (sorted ⇒ grouped by owner shard since owner = row // m is monotone)
+    uniq: list = []
     H = 1
     for t in range(n_shards):
         refs = nlist[t * m : (t + 1) * m]
         own = owner[t * m : (t + 1) * m]
-        for s in range(n_shards):
-            if s == t:
-                send[s][t] = np.empty(0, np.int64)
-                continue
-            rows = np.unique(refs[own == s])
-            send[s][t] = rows
-            H = max(H, len(rows))
+        u = np.unique(refs[own != t])
+        uniq.append(u)
+        if len(u):
+            counts = np.bincount(u // m, minlength=n_shards)
+            H = max(H, int(counts.max()))
     H = _round_up(H, halo_multiple)
 
     send_idx = np.zeros((n_shards, n_shards, H), np.int32)
-    # map global row -> workspace slot for each requester t
     local_nlist = np.zeros((n_shards, m, k), np.int32)
     for t in range(n_shards):
-        slot_of = {}
-        for s in range(n_shards):
-            rows = send[s][t]
-            send_idx[s, t, : len(rows)] = rows - s * m  # local to owner
-            for j, r in enumerate(rows):
-                slot_of[int(r)] = m + s * H + j
         refs = nlist[t * m : (t + 1) * m]
         own = owner[t * m : (t + 1) * m]
-        ln = np.empty((m, k), np.int32)
+        u = uniq[t]
+        uo = u // m
+        # first position of each owner's group inside u
+        group_start = np.searchsorted(uo, np.arange(n_shards))
+        group_count = np.searchsorted(uo, np.arange(n_shards), side="right") - group_start
+        for s in range(n_shards):
+            rows = u[group_start[s] : group_start[s] + group_count[s]]
+            send_idx[s, t, : len(rows)] = rows - s * m  # local to owner
+        # workspace slot of external ref r: m + owner(r)*H + rank within group
+        pos = np.searchsorted(u, refs)            # [m, K], valid where ~inside
         inside = own == t
-        ln[inside] = (refs - t * m)[inside]
-        for (i, j) in zip(*np.nonzero(~inside)):
-            ln[i, j] = slot_of[int(refs[i, j])]
-        local_nlist[t] = ln
+        pos = np.where(inside, 0, pos)
+        slot = m + own * H + (pos - group_start[np.clip(own, 0, n_shards - 1)])
+        local_nlist[t] = np.where(inside, refs - t * m, slot).astype(np.int32)
     return HaloPlan(
         send_idx=send_idx,
         local_nlist=local_nlist,
         halo_size=H,
         n_shards=n_shards,
         rows_per_shard=m,
+    )
+
+
+class BandedHaloPlan(NamedTuple):
+    """Halo plan + per-shard interior band plan: the multi-chip fast path.
+
+    Per shard the MP aggregation splits into
+      acc = band(M_interior, own_nodes) + block(M_halo, received_rows)
+    summed BEFORE the activation, so numerics equal the single-device
+    forward while the interior Pallas kernel runs independently of the
+    all_to_all (overlap window; SURVEY.md §2.3)."""
+
+    halo: HaloPlan
+    lo: np.ndarray     # i32[D, T] per-shard interior window starts
+    window: int        # W (lanes), <= rows_per_shard
+    block_rows: int    # B
+
+    @property
+    def num_tiles(self) -> int:
+        return self.halo.rows_per_shard // self.block_rows
+
+    @property
+    def halo_lanes(self) -> int:
+        return self.halo.n_shards * self.halo.halo_size
+
+
+def make_banded_halo_plan(
+    nlist: np.ndarray,
+    edges: np.ndarray,
+    n_shards: int,
+    block_rows: int = 128,
+    align: int = 128,
+    w_buckets=(256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 2048),
+) -> BandedHaloPlan:
+    """Build the banded multi-chip plan. The graph should be RCM-ordered
+    (data.reorder.rcm_order) so interior windows stay narrow and halos
+    concentrate at shard boundaries; atom count must be a multiple of
+    n_shards * block_rows."""
+    nlist = np.asarray(nlist)
+    edges = np.asarray(edges)
+    n, k = nlist.shape
+    # halo slots padded to full lanes so the halo block matmul is tiled
+    base = make_halo_plan(nlist, n_shards, halo_multiple=align)
+    m = base.rows_per_shard
+    if m % block_rows:
+        raise ValueError(
+            f"rows per shard {m} not a multiple of block_rows {block_rows}"
+        )
+    t = m // block_rows
+    lo = np.zeros((n_shards, t), np.int64)
+    need = np.zeros((n_shards, t), np.int64)
+    for s in range(n_shards):
+        lnl = base.local_nlist[s]
+        real = edges[s * m : (s + 1) * m] > 0
+        interior = real & (lnl < m)
+        for i in range(t):
+            sel = slice(i * block_rows, (i + 1) * block_rows)
+            idx = lnl[sel][interior[sel]]
+            if len(idx) == 0:
+                continue
+            lo_i = (int(idx.min()) // align) * align
+            lo[s, i] = lo_i
+            need[s, i] = int(idx.max()) - lo_i + 1
+    w = int(need.max()) if need.size else align
+    for b in w_buckets:
+        if w <= b:
+            w = b
+            break
+    else:
+        w = _round_up(w, 512)
+    w = max(min(w, m), 128)
+    lo = np.minimum(lo, max(m - w, 0))
+    return BandedHaloPlan(
+        halo=base, lo=lo.astype(np.int32), window=w, block_rows=block_rows
+    )
+
+
+def apply_partitioned_banded(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    plan: BandedHaloPlan,
+    mesh: Mesh,
+    axis: str = "graph",
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-chip inference forward with per-shard Pallas banded MP and
+    overlapped halo exchange. Equals the single-device forward in f32.
+
+    Per MP layer and shard:
+      1. issue the all_to_all for the boundary rows (D*H rows out/in)
+      2. interior aggregation: banded Pallas kernel over OWN rows only —
+         no dependency on the exchange, so XLA can run it under the
+         in-flight collective
+      3. halo aggregation: [T,E,B,DH] halo block x received rows
+      4. nodes = act((interior + halo) * inv_degree) + nodes
+
+    The graph must be RCM-ordered and padded to D * rows_per_shard atoms
+    (see make_banded_halo_plan). ``interpret`` runs the Pallas kernels in
+    interpreter mode (CPU tests / dryrun)."""
+    from ..ops.banded import build_band_tracedlo, mp_banded_partial
+
+    base = plan.halo
+    D, m, H = base.n_shards, base.rows_per_shard, base.halo_size
+    B, W, T = plan.block_rows, plan.window, plan.num_tiles
+    DH = plan.halo_lanes
+    fc_act = get_activation(config.fc_activation)
+    mp_act = get_activation(config.mp_activation)
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    row = P(axis)
+
+    send_idx = jnp.asarray(base.send_idx)        # [D, D, H] replicated
+    local_nlist = jnp.asarray(base.local_nlist)  # [D, m, K] sharded
+    lo_all = jnp.asarray(plan.lo)                # [D, T] sharded
+
+    @partial(
+        jax.shard_map,
+        mesh=mesh,
+        in_specs=(P(), row, P(axis, None, None), P(axis, None), row, row),
+        out_specs=row,
+        check_vma=False,
+    )
+    def fwd(p, atoms, lnl, lo, edges, inv_degree):
+        me = jax.lax.axis_index(axis)
+        lnl = lnl[0]          # [m, K] workspace-relative neighbor ids
+        lo = lo[0]            # [T]
+
+        edge_mask = (edges > 0).astype(jnp.float32)[..., None]
+        e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
+        e = e * edge_mask
+        for i, lp in enumerate(p["edge_fc"]):
+            last = i == len(p["edge_fc"]) - 1
+            e = _dense(lp, e, None if last else fc_act)
+        e = e * edge_mask     # [m, K, E]
+
+        # layer-invariant band structures, built once per forward:
+        # interior refs (< m) land in the windowed band; halo refs
+        # (>= m) fall outside every interior window and are excluded.
+        M_int = build_band_tracedlo(
+            lnl, e, lo, W, B, out_dtype=compute_dtype, interpret=interpret
+        )
+        # halo block: lanes = workspace slots m..m+DH; interior refs go
+        # negative and never match a lane.
+        M_halo = build_band_tracedlo(
+            lnl - m, e, jnp.zeros((T,), jnp.int32), DH, B,
+            out_dtype=compute_dtype, interpret=interpret,
+        )
+
+        nodes = _dense(p["embed"], atoms)  # [m, F]
+        my_send = jax.lax.dynamic_index_in_dim(send_idx, me, 0, keepdims=False)
+
+        inv_col = inv_degree[:, None]
+        for lp in p["mp"]:
+            w = lp["w"].astype(compute_dtype)
+            # 1) issue the exchange first ...
+            send_buf = jnp.take(nodes, my_send.reshape(-1), axis=0).reshape(
+                D, H, -1
+            )
+            recv = jax.lax.all_to_all(
+                send_buf, axis, split_axis=0, concat_axis=0, tiled=False
+            )  # [D, H, F]; recv[s] = rows sent by shard s
+            # 2) ... interior band runs with no dependency on it ...
+            acc_int = mp_banded_partial(
+                M_int, lo, nodes.astype(compute_dtype), w, interpret=interpret
+            )
+            # 3) ... halo block consumes the received rows.
+            halo_nodes = recv.reshape(DH, -1).astype(compute_dtype)
+            acc_halo = mp_banded_partial(
+                M_halo, jnp.zeros((T,), jnp.int32), halo_nodes, w,
+                interpret=interpret,
+            )
+            upd = (acc_int + acc_halo) * inv_col
+            nodes = mp_act(upd) + nodes
+
+        for lp in p["fc"][:-1]:
+            nodes = _dense(lp, nodes, fc_act) + nodes
+        nodes = _dense(p["fc"][-1], nodes, fc_act)
+        full_peaks = _dense(p["out"], nodes)
+        return jnp.sum(
+            full_peaks * atoms * p["peak_std"] + atoms * p["peak_avg"], axis=-1
+        )
+
+    return fwd(
+        params, graph.atoms, local_nlist, lo_all, graph.edges, graph.inv_degree
     )
 
 

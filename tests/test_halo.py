@@ -10,7 +10,12 @@ from nmrgnn_tpu.data.parse import structure2graph
 from nmrgnn_tpu.data.reorder import permute_graph, rcm_order
 from nmrgnn_tpu.graph import Graph
 from nmrgnn_tpu.parallel import make_mesh, pad_to_multiple
-from nmrgnn_tpu.parallel.halo import apply_partitioned_halo, make_halo_plan
+from nmrgnn_tpu.parallel.halo import (
+    apply_partitioned_banded,
+    apply_partitioned_halo,
+    make_banded_halo_plan,
+    make_halo_plan,
+)
 
 PDB_108M = "/root/reference/tests/108M.pdb"
 
@@ -60,6 +65,35 @@ class TestHaloForward:
         want = np.asarray(apply(params, CFG, gp))
         got = np.asarray(apply_partitioned_halo(params, CFG, gp, plan, mesh))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    def test_banded_matches_single_device(self, graph_rcm, n_shards):
+        """The multi-chip Pallas fast path (per-shard banded interior +
+        halo block, VERDICT r2 item 2) equals the single-device forward."""
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), n_shards * 128)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        plan = make_banded_halo_plan(
+            np.asarray(gp.nlist), np.asarray(gp.edges), n_shards
+        )
+        mesh = make_mesh(data=8 // n_shards, graph=n_shards)
+        want = np.asarray(apply(params, CFG, gp))
+        got = np.asarray(
+            apply_partitioned_banded(
+                params, CFG, gp, plan, mesh, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    def test_banded_interior_excludes_halo_slots(self, graph_rcm):
+        """Interior windows never cover workspace halo slots — the split
+        is exact, not overlapping."""
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), 4 * 128)
+        plan = make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), 4)
+        m = plan.halo.rows_per_shard
+        assert plan.window <= m
+        assert (plan.lo + plan.window <= m).all()
 
     def test_jit_compiles(self, graph_rcm):
         g, _ = graph_rcm
