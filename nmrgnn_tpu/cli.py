@@ -235,10 +235,15 @@ def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_si
               help="build neighbor lists on-device (TPU) instead of host")
 @click.option("--fast/--no-fast", default=False,
               help="serve via the RCM-reordered block-sparse Pallas path")
+@click.option("--precision", default="exact",
+              type=click.Choice(["exact", "fast"]),
+              help="fast-path numerics: 'exact' = f32, matches the plain "
+                   "forward to roundoff; 'fast' = bf16 + Chebyshev edge "
+                   "stage (~7e-3 ppm mean abs shift difference)")
 @click.option("--profile", default=None, type=click.Path(),
               help="capture a jax.profiler trace (XProf) to this directory")
 def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
-                device_graph, fast, profile):
+                device_graph, fast, precision, profile):
     """Predict chemical shifts for structure file(s)
     (reference main.py:192-278). Writes per-atom CSV with confidence."""
     import pandas as pd
@@ -268,10 +273,16 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
 
     fwd = jax.jit(lambda p, g: gnn.apply(p, cfg, g))
     serving = None
+    if fast and device_graph:
+        click.echo(
+            "note: --device-graph is ignored with --fast (the serving "
+            "path builds graphs host-side, pipelined with inference)",
+            err=True,
+        )
     if fast:
         from .models.serving import ServingModel
 
-        serving = ServingModel(params, cfg)
+        serving = ServingModel(params, cfg, precision=precision)
 
     frames = range(0, struct.n_frames, stride)
     timing = {"graph": 0, "inference": 0, "output": 0, "read": parse_ns}
@@ -396,6 +407,37 @@ def make_organic(output_tfrecord, molecules, seed, append):
         output_tfrecord, n_molecules=molecules, seed=seed, append=append
     )
     click.echo(f"Wrote {n} molecules to {output_tfrecord}")
+
+
+@main.command("import-reference")
+# no exists=True: a TF checkpoint *prefix* (foo/variables) is not itself
+# a file — foo/variables.index is
+@click.argument("checkpoint", type=click.Path())
+@click.argument("out-dir", type=click.Path())
+@click.option("--config", "config_path", default=None,
+              type=click.Path(exists=True),
+              help="ModelConfig JSON; inferred from weight shapes if omitted")
+def import_reference(checkpoint, out_dir, config_path):
+    """Convert a reference TF SavedModel dir / TF checkpoint prefix into a
+    native model directory (params.msgpack + config.json), so the
+    published baseline weights drop in the moment they are reachable
+    (reference load path: library.py:92-103). Point OUT-DIR at
+    nmrgnn_tpu/models/baseline to replace the bundled weights."""
+    from .compat import import_reference_checkpoint
+    from .config import ModelConfig
+    from .library import save_model
+    from .models.gnn import count_params
+
+    cfg = None
+    if config_path:
+        with open(config_path) as f:
+            cfg = ModelConfig.from_json(f.read())
+    params, cfg = import_reference_checkpoint(checkpoint, config=cfg)
+    save_model(out_dir, params, cfg)
+    click.echo(
+        f"Imported {count_params(params)} params from {checkpoint} "
+        f"-> {out_dir}"
+    )
 
 
 @main.command()

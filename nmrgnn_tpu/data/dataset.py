@@ -82,8 +82,16 @@ def example_to_sample(ex: dict, num_elements: int) -> Sample:
     atom_idx = np.asarray(ex["atoms"], np.int64)
     n = atom_idx.shape[0]
     k = int(ex["k"][0]) if "k" in ex else ex["nlist"].shape[0] // n
+    if atom_idx.size and (atom_idx.min() < 0 or atom_idx.max() >= num_elements):
+        bad = atom_idx[(atom_idx < 0) | (atom_idx >= num_elements)]
+        raise ValueError(
+            f"fragment record has element indices outside the "
+            f"{num_elements}-element vocabulary (e.g. {bad[:5].tolist()}); "
+            "the record was written with a different vocabulary — convert "
+            "it explicitly instead of aliasing indices"
+        )
     atoms = np.zeros((n, num_elements), np.float32)
-    atoms[np.arange(n), atom_idx % num_elements] = 1.0
+    atoms[np.arange(n), atom_idx] = 1.0
     nlist = np.asarray(ex["nlist"], np.int64).reshape(n, k).astype(np.int32)
     edges = np.asarray(ex["edges"], np.float32).reshape(n, k)
     y = np.stack(

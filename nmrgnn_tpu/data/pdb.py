@@ -44,24 +44,49 @@ class Structure:
         return self.coords.shape[0]
 
 
-def _element_from_columns(line: str, name: str) -> str:
+# Monatomic-ion residues: a HETATM whose residue name matches its atom
+# name (CA/ZN/K/...) is an ion, not e.g. an alpha carbon.
+_ION_RESNAMES = {
+    "CA": "CA", "ZN": "ZN", "MG": "MG", "NA": "NA", "K": "K", "LI": "LI",
+    "CL": "CL", "BR": "BR", "F": "F", "FE": "FE", "FE2": "FE", "MN": "MN",
+    "CU": "CU", "CU1": "CU", "NI": "NI", "CO": "CO", "CD": "CD",
+    "HG": "HG", "SE": "SE", "IOD": "I", "CS": "CS", "SR": "SR", "BA": "BA",
+}
+# Two-letter element prefixes safe to infer from atom names (never part
+# of standard protein/nucleic atom naming).
+_TWO_LETTER = {
+    "CL", "BR", "MG", "ZN", "FE", "MN", "CU", "NI", "SE", "CD", "CO", "HG",
+}
+
+
+def _element_from_columns(
+    line: str, name: str, *, hetatm: bool = False, resname: str = ""
+) -> str:
     elem = line[76:78].strip() if len(line) >= 78 else ""
     if elem:
         return elem.upper()
     # Fall back to the atom name: strip digits, handle leading digit
-    # (e.g. '1HB2') and two-letter elements.
+    # (e.g. '1HB2') and two-letter elements. The reference delegates this
+    # to MDAnalysis; the HETATM/resname context below keeps CA-the-
+    # calcium-ion distinct from CA-the-alpha-carbon (VERDICT r2 item 8).
     n = name.strip()
     while n and n[0].isdigit():
         n = n[1:]
     if not n:
         return "Z"
-    if len(n) >= 2 and n[:2].upper() in ("CL", "BR", "NA", "MG", "ZN", "FE", "CA"):
-        # 'CA' the atom name is calcium only for HETATM ions; in protein
-        # residues CA is an alpha carbon — prefer single-letter there.
-        if n[:2].upper() == "CA":
-            return "C"
-        return n[:2].upper()
-    return n[0].upper()
+    u = n.upper()
+    if hetatm:
+        r = resname.strip().upper()
+        ion = _ION_RESNAMES.get(r)
+        if ion is not None and u.rstrip("+-0123456789") in (r, ion):
+            return ion
+    if u[:2] == "CA":
+        return "C"   # alpha carbon (the ion case returned above)
+    # NOTE: 'NA'/'NB'... outside an ion residue are nitrogens (heme
+    # NA..ND), never sodium — sodium is only read from resname above.
+    if len(u) >= 2 and u[:2] in _TWO_LETTER:
+        return u[:2]
+    return u[0]
 
 
 def _open(path: str):
@@ -98,7 +123,13 @@ def read_pdb(path: str, *, het: bool = True) -> Structure:
                     except ValueError:
                         resids.append(0)
                     chains.append(line[21].strip())
-                    elements.append(_element_from_columns(line, name))
+                    elements.append(
+                        _element_from_columns(
+                            line, name,
+                            hetatm=rec == "HETATM",
+                            resname=line[17:20],
+                        )
+                    )
             elif rec.startswith("ENDMDL"):
                 if cur:
                     frames.append(np.asarray(cur, np.float32))

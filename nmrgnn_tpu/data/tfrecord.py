@@ -141,10 +141,6 @@ def encode_example(features: Dict[str, FeatureValue]) -> bytes:
 def _decode_list(buf: memoryview):
     """Decode a BytesList/FloatList/Int64List payload given its kind tag."""
     pos = 0
-    out_bytes: List[bytes] = []
-    out_f: List[np.ndarray] = []
-    out_i: List[int] = []
-    kind = None
     n = len(buf)
     while pos < n:
         tag, pos = _read_varint(buf, pos)
@@ -217,16 +213,24 @@ def decode_example(data: bytes) -> Dict[str, FeatureValue]:
 class TFRecordWriter:
     """Buffered TFRecord writer. Records are framed and CRC'd in bulk by
     the native C++ runtime (native/src/tfrecord.cc) when available, with
-    a pure-Python masked-CRC fallback."""
+    a pure-Python masked-CRC fallback.
+
+    Buffering contract: records are durable only after flush()/close()
+    (up to ``flush_every - 1`` records are held in memory). Prefer the
+    context-manager form; __del__ flushes as a safety net, and writing
+    after close() raises."""
 
     def __init__(self, path: str, append: bool = False, flush_every: int = 512):
         self._path = path
         self._flush_every = flush_every
         self._buf: list = []
+        self._closed = False
         if not append:
             open(path, "wb").close()  # truncate up front; flushes append
 
     def write(self, payload: bytes) -> None:
+        if self._closed:
+            raise ValueError(f"write to closed TFRecordWriter({self._path!r})")
         self._buf.append(bytes(payload))
         if len(self._buf) >= self._flush_every:
             self.flush()
@@ -251,6 +255,14 @@ class TFRecordWriter:
 
     def close(self):
         self.flush()
+        self._closed = True
+
+    def __del__(self):
+        try:
+            if not self._closed:
+                self.flush()
+        except Exception:
+            pass  # interpreter teardown; nothing safe to do
 
     def __enter__(self):
         return self

@@ -124,7 +124,12 @@ def check_peaks(atoms, peaks, cutoff_sigma: float = 4, warn_sigma: float = 2.5):
     """Sanity-check predicted peaks against training shift statistics
     (reference: library.py:30-47). Returns bool[N] 'confident'. Raises
     Warning (as an exception — matching the reference's behavior, quirk
-    C8) when fewer than 75% of atoms look plausible."""
+    C8) when fewer than 75% of atoms look plausible.
+
+    ``cutoff_sigma`` is accepted for signature parity only: the
+    reference's NaN-ing cutoff branch is commented out in its source
+    (reference library.py:38-40), so the parameter is deliberately
+    unused there and here."""
     standards = load_standards()
     atoms = np.asarray(atoms)
     peaks = np.asarray(peaks)

@@ -54,14 +54,22 @@ class ServingModel:
         group: int = 4,
         use_pallas: Optional[bool] = None,
         mode: str = "auto",
-        precision: str = "fast",
+        precision: str = "exact",
     ):
         """``precision``:
-          * "fast" (default) — bf16 MXU arithmetic with f32 accumulation
-            plus the Chebyshev-compressed edge stage (ops/edgefn.py,
-            ~4e-7 edge error). The production serving configuration.
-          * "exact" — f32 with the exact RBF+EdgeFC kernels; matches
-            models.gnn.apply to f32 roundoff.
+          * "exact" (default) — f32 with the exact RBF+EdgeFC kernels;
+            matches models.gnn.apply to f32 roundoff. Approximation is
+            opt-in, so predict() numerics don't silently change.
+          * "fast" — bf16 MXU arithmetic with f32 accumulation plus the
+            Chebyshev-compressed edge stage (ops/edgefn.py, ~4e-7 edge
+            error). The production serving configuration: end-to-end
+            peak mean abs diff ~7e-3 ppm vs exact (BENCHMARKS.md), well
+            inside the model's ~0.3-1 ppm rmsd.
+
+        Attention-family models (config.mp_type == "attention", reference
+        AMPLayer layers.py:48-100) have no banded/block-sparse kernel;
+        they are served through a jitted gather forward instead of
+        raising from the bilinear fast paths.
         """
         if precision not in ("fast", "exact"):
             raise ValueError(f"unknown precision {precision!r}")
@@ -123,7 +131,11 @@ class ServingModel:
     def _resolve_mode(self, g: Graph) -> str:
         if self._resolved is not None:
             return self._resolved
-        if self.mode != "auto":
+        if self.config.mp_type != "bilinear":
+            # AMPLayer-family params (wq/wk/wv) have no banded/block
+            # kernel; serve via the jitted gather forward.
+            self._resolved = "gather"
+        elif self.mode != "auto":
             self._resolved = self.mode
         elif not self.use_pallas:
             self._resolved = "blocksparse"  # XLA block path (CPU)
@@ -215,6 +227,21 @@ class ServingModel:
 
     # -- prediction ----------------------------------------------------------
 
+    def _gather_fwd(self):
+        key = ("gather",)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from . import gnn
+
+            config = self.config
+
+            @jax.jit
+            def fn(params, graph):
+                return gnn.apply(params, config, graph)
+
+            self._jit_cache[key] = fn
+        return fn
+
     def _predict_async(self, graph: Graph):
         """Dispatch the forward; returns (device_peaks, inverse) without
         forcing a host readback."""
@@ -224,7 +251,9 @@ class ServingModel:
         g = self._prepare(g)
         mode = self._resolve_mode(g)
         gj = Graph(*[jnp.asarray(a) for a in g])
-        if mode == "banded":
+        if mode == "gather":
+            peaks = self._gather_fwd()(self.params, gj)
+        elif mode == "banded":
             plan = self._banded_plan(g)
             peaks = self._banded_fwd(plan)(self.params, gj, jnp.asarray(plan.lo))
         else:
@@ -273,10 +302,27 @@ class ServingModel:
             plan_covers(plan, g.nlist, g.edges) for g in gs
         )
         if not ok:
-            plan = self._plan = band_plan_frames(
+            union = band_plan_frames(
                 stack.nlist, stack.edges, block_rows=plan.block_rows
                 if plan is not None else self.block_size,
             )
+            # a union window one bucket wider than frame 0's plan can
+            # exceed the VMEM budget that gated the banded path — recheck
+            # and fall back to per-frame prediction (which re-resolves)
+            cfg = self.config
+            dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
+            if self.use_pallas and not (
+                plan_fits_vmem(
+                    union, cfg.atom_feature_size, cfg.edge_feature_size,
+                    dtype_bytes=dtype_bytes,
+                )
+                and fused_build_fits(
+                    union, cfg.edge_hidden_size, cfg.edge_feature_size,
+                    stack.nlist.shape[-1], out_bytes=dtype_bytes,
+                )
+            ):
+                return np.stack([self.predict(g) for g in graphs])
+            plan = self._plan = union
         fn = self._batched_banded_fwd(plan)
         peaks = np.asarray(
             fn(self.params, Graph(*[jnp.asarray(a) for a in stack]),

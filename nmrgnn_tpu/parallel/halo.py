@@ -107,19 +107,34 @@ class BandedHaloPlan(NamedTuple):
     """Halo plan + per-shard interior band plan: the multi-chip fast path.
 
     Per shard the MP aggregation splits into
-      acc = band(M_interior, own_nodes) + block(M_halo, received_rows)
+      acc = band(M_interior, own_nodes)            all T row tiles
+          + band(M_halo, received_rows)            boundary tiles only
     summed BEFORE the activation, so numerics equal the single-device
     forward while the interior Pallas kernel runs independently of the
-    all_to_all (overlap window; SURVEY.md §2.3)."""
+    all_to_all (overlap window; SURVEY.md §2.3).
+
+    The halo stage is compacted: only ``num_boundary_tiles`` (uniform
+    across shards, padded with zero-contribution tiles) participate,
+    each with its own window of width ``halo_window`` into the received
+    halo rows — with RCM ordering that is O(window/m) of the tiles, so
+    the halo stage costs a small fraction of the interior band instead
+    of a dense [T, E, B, D*H] block."""
 
     halo: HaloPlan
-    lo: np.ndarray     # i32[D, T] per-shard interior window starts
-    window: int        # W (lanes), <= rows_per_shard
-    block_rows: int    # B
+    lo: np.ndarray           # i32[D, T] per-shard interior window starts
+    window: int              # W (lanes), <= rows_per_shard
+    block_rows: int          # B
+    boundary_ids: np.ndarray  # i32[D, Tb] tile indices with halo refs
+    halo_lo: np.ndarray      # i32[D, Tb] window starts into halo rows
+    halo_window: int         # Wh (lanes), <= D * H
 
     @property
     def num_tiles(self) -> int:
         return self.halo.rows_per_shard // self.block_rows
+
+    @property
+    def num_boundary_tiles(self) -> int:
+        return self.boundary_ids.shape[1]
 
     @property
     def halo_lanes(self) -> int:
@@ -149,31 +164,64 @@ def make_banded_halo_plan(
             f"rows per shard {m} not a multiple of block_rows {block_rows}"
         )
     t = m // block_rows
+    dh = n_shards * base.halo_size
     lo = np.zeros((n_shards, t), np.int64)
     need = np.zeros((n_shards, t), np.int64)
+    h_lo = np.zeros((n_shards, t), np.int64)
+    h_need = np.zeros((n_shards, t), np.int64)
+    is_boundary = np.zeros((n_shards, t), bool)
     for s in range(n_shards):
         lnl = base.local_nlist[s]
         real = edges[s * m : (s + 1) * m] > 0
         interior = real & (lnl < m)
+        external = real & (lnl >= m)
         for i in range(t):
             sel = slice(i * block_rows, (i + 1) * block_rows)
             idx = lnl[sel][interior[sel]]
-            if len(idx) == 0:
-                continue
-            lo_i = (int(idx.min()) // align) * align
-            lo[s, i] = lo_i
-            need[s, i] = int(idx.max()) - lo_i + 1
-    w = int(need.max()) if need.size else align
-    for b in w_buckets:
-        if w <= b:
-            w = b
-            break
-    else:
-        w = _round_up(w, 512)
-    w = max(min(w, m), 128)
+            if len(idx):
+                lo_i = (int(idx.min()) // align) * align
+                lo[s, i] = lo_i
+                need[s, i] = int(idx.max()) - lo_i + 1
+            hdx = lnl[sel][external[sel]] - m
+            if len(hdx):
+                is_boundary[s, i] = True
+                hlo_i = (int(hdx.min()) // align) * align
+                h_lo[s, i] = hlo_i
+                h_need[s, i] = int(hdx.max()) - hlo_i + 1
+
+    def bucket(w, cap):
+        for b in w_buckets:
+            if w <= b:
+                w = b
+                break
+        else:
+            w = _round_up(w, 512)
+        return max(min(w, cap), 128)
+
+    w = bucket(int(need.max()) if need.size else align, m)
     lo = np.minimum(lo, max(m - w, 0))
+
+    # boundary-tile compaction: uniform count across shards (SPMD), padded
+    # with non-boundary tiles whose halo band is all-zero (no refs >= m)
+    tb = max(int(is_boundary.sum(axis=1).max()), 1)
+    boundary_ids = np.zeros((n_shards, tb), np.int64)
+    for s in range(n_shards):
+        ids = np.nonzero(is_boundary[s])[0]
+        fill = np.nonzero(~is_boundary[s])[0]
+        pad_id = fill[0] if len(fill) else (ids[0] if len(ids) else 0)
+        padded = np.concatenate([ids, np.full(tb - len(ids), pad_id)])
+        boundary_ids[s] = padded
+    wh = bucket(int(h_need.max()) if h_need.size else align, dh)
+    h_lo = np.minimum(h_lo, max(dh - wh, 0))
+    halo_lo = np.take_along_axis(h_lo, boundary_ids, axis=1)
     return BandedHaloPlan(
-        halo=base, lo=lo.astype(np.int32), window=w, block_rows=block_rows
+        halo=base,
+        lo=lo.astype(np.int32),
+        window=w,
+        block_rows=block_rows,
+        boundary_ids=boundary_ids.astype(np.int32),
+        halo_lo=halo_lo.astype(np.int32),
+        halo_window=wh,
     )
 
 
@@ -205,7 +253,7 @@ def apply_partitioned_banded(
     base = plan.halo
     D, m, H = base.n_shards, base.rows_per_shard, base.halo_size
     B, W, T = plan.block_rows, plan.window, plan.num_tiles
-    DH = plan.halo_lanes
+    DH, Wh, Tb = plan.halo_lanes, plan.halo_window, plan.num_boundary_tiles
     fc_act = get_activation(config.fc_activation)
     mp_act = get_activation(config.mp_activation)
     compute_dtype = jnp.dtype(config.compute_dtype)
@@ -214,18 +262,25 @@ def apply_partitioned_banded(
     send_idx = jnp.asarray(base.send_idx)        # [D, D, H] replicated
     local_nlist = jnp.asarray(base.local_nlist)  # [D, m, K] sharded
     lo_all = jnp.asarray(plan.lo)                # [D, T] sharded
+    bids_all = jnp.asarray(plan.boundary_ids)    # [D, Tb] sharded
+    hlo_all = jnp.asarray(plan.halo_lo)          # [D, Tb] sharded
 
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), row, P(axis, None, None), P(axis, None), row, row),
+        in_specs=(
+            P(), row, P(axis, None, None), P(axis, None),
+            P(axis, None), P(axis, None), row, row,
+        ),
         out_specs=row,
         check_vma=False,
     )
-    def fwd(p, atoms, lnl, lo, edges, inv_degree):
+    def fwd(p, atoms, lnl, lo, bids, hlo, edges, inv_degree):
         me = jax.lax.axis_index(axis)
         lnl = lnl[0]          # [m, K] workspace-relative neighbor ids
         lo = lo[0]            # [T]
+        bids = bids[0]        # [Tb] boundary tile indices
+        hlo = hlo[0]          # [Tb] halo window starts
 
         edge_mask = (edges > 0).astype(jnp.float32)[..., None]
         e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
@@ -241,11 +296,15 @@ def apply_partitioned_banded(
         M_int = build_band_tracedlo(
             lnl, e, lo, W, B, out_dtype=compute_dtype, interpret=interpret
         )
-        # halo block: lanes = workspace slots m..m+DH; interior refs go
-        # negative and never match a lane.
+        # halo band over the BOUNDARY tiles only: rows compacted by
+        # boundary_ids, lanes = received-row slots (refs - m; interior
+        # refs go negative and never match). Padding tiles have no
+        # halo refs, so their band is zero and the scatter adds nothing.
+        rows = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
         M_halo = build_band_tracedlo(
-            lnl - m, e, jnp.zeros((T,), jnp.int32), DH, B,
-            out_dtype=compute_dtype, interpret=interpret,
+            jnp.take(lnl, rows, axis=0) - m,
+            jnp.take(e, rows, axis=0),
+            hlo, Wh, B, out_dtype=compute_dtype, interpret=interpret,
         )
 
         nodes = _dense(p["embed"], atoms)  # [m, F]
@@ -265,14 +324,13 @@ def apply_partitioned_banded(
             acc_int = mp_banded_partial(
                 M_int, lo, nodes.astype(compute_dtype), w, interpret=interpret
             )
-            # 3) ... halo block consumes the received rows.
+            # 3) ... boundary-tile halo band consumes the received rows.
             halo_nodes = recv.reshape(DH, -1).astype(compute_dtype)
             acc_halo = mp_banded_partial(
-                M_halo, jnp.zeros((T,), jnp.int32), halo_nodes, w,
-                interpret=interpret,
+                M_halo, hlo, halo_nodes, w, interpret=interpret
             )
-            upd = (acc_int + acc_halo) * inv_col
-            nodes = mp_act(upd) + nodes
+            acc = acc_int.at[rows].add(acc_halo)
+            nodes = mp_act(acc * inv_col) + nodes
 
         for lp in p["fc"][:-1]:
             nodes = _dense(lp, nodes, fc_act) + nodes
@@ -283,7 +341,8 @@ def apply_partitioned_banded(
         )
 
     return fwd(
-        params, graph.atoms, local_nlist, lo_all, graph.edges, graph.inv_degree
+        params, graph.atoms, local_nlist, lo_all, bids_all, hlo_all,
+        graph.edges, graph.inv_degree,
     )
 
 

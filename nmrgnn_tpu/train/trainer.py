@@ -372,7 +372,7 @@ class Trainer:
         best_restore = float("inf")
         best_weights = None
         total_epochs = state.epoch + epochs
-        compiled = self.tcfg.compiled_epochs and self.mesh is None
+        compiled = self.tcfg.compiled_epochs
         for _ in range(epochs):
             if self.tcfg.lr_schedule == "cosine":
                 peak = self.config.learning_rate
@@ -393,6 +393,18 @@ class Trainer:
                 )
                 ys = jnp.stack([b[1] for b in batches])
                 ws = jnp.stack([b[2] for b in batches])
+                if self.mesh is not None:
+                    # [steps, batch, ...]: batch dim shards over 'data';
+                    # the lax.scan epoch then runs as ONE dispatch with
+                    # sharded carries instead of per-batch host round
+                    # trips + device_put (VERDICT r2 item 6)
+                    from jax.sharding import NamedSharding
+                    from jax.sharding import PartitionSpec as P
+
+                    sh = NamedSharding(self.mesh, P(None, "data"))
+                    graphs = Graph(*[jax.device_put(a, sh) for a in graphs])
+                    ys = jax.device_put(ys, sh)
+                    ws = jax.device_put(ws, sh)
                 rng, srng = jax.random.split(rng)
                 state.params, state.opt_state, state.ema_params, losses = (
                     self.train_epoch(

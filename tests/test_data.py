@@ -70,6 +70,31 @@ class TestPDB:
         # frames differ
         assert np.mean((s.coords[0] - s.coords[1]) ** 2) > 0
 
+    def test_hetatm_ion_elements(self, tmp_path):
+        """CA-the-calcium-ion must not become CA-the-alpha-carbon, and
+        Zn/K/Na ions get their real elements (VERDICT r2 item 8). Without
+        element columns, heme 'NA' stays nitrogen and protein 'CA' stays
+        carbon."""
+        lines = [
+            # ATOM CA in a protein residue: alpha carbon (no elem cols)
+            "ATOM      1  CA  ALA A   1      11.000  11.000  11.000",
+            # HETATM monatomic ions, resname == atom name, no elem cols
+            "HETATM    2 CA    CA A 101      12.000  11.000  11.000",
+            "HETATM    3 ZN    ZN A 102      11.000  12.000  11.000",
+            "HETATM    4  K     K A 103      12.000  12.000  11.000",
+            "HETATM    5 NA    NA A 104      11.000  11.000  12.000",
+            # heme nitrogen named NA: NOT sodium
+            "HETATM    6  NA  HEM A 105      12.000  12.000  12.000",
+            "END",
+        ]
+        p = tmp_path / "ions.pdb"
+        p.write_text("\n".join(lines) + "\n")
+        s = read_structure(str(p))
+        assert s.elements == ["C", "CA", "ZN", "K", "NA", "N"]
+        # metals land in the 'Z' vocabulary slot, never in C
+        assert element_to_index("CA") == 1
+        assert element_to_index("ZN") == 1
+
 
 class TestNeighbors:
     def test_host_device_parity(self):

@@ -95,6 +95,42 @@ class TestHaloForward:
         assert plan.window <= m
         assert (plan.lo + plan.window <= m).all()
 
+    def test_halo_volume_beats_allgather(self, graph_rcm):
+        """Comm accounting (parallel/comm.py): on RCM-ordered structures
+        the halo exchange moves less data than the all-gather, and the
+        advantage grows with N at fixed D (H tracks the RCM bandwidth,
+        not N) — the quantified 'H << N/D' claim (VERDICT r2 item 4)."""
+        from nmrgnn_tpu.data.neighbors import neighbors_host
+        from nmrgnn_tpu.data.parse import inv_degree_np
+        from nmrgnn_tpu.data.pdb import read_structure
+        from nmrgnn_tpu.parallel.comm import halo_comm_report
+
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), 4 * 128)
+        rep_small = halo_comm_report(make_halo_plan(np.asarray(gp.nlist), 4))
+        assert rep_small.halo_bytes < rep_small.allgather_bytes
+
+        # 4x tiled supercell (~9.9k atoms): same D, much lower ratio
+        struct = read_structure(PDB_108M)
+        coords = struct.coords[0]
+        span = float(np.ptp(coords[:, 2])) + 40.0
+        tiled = np.concatenate(
+            [coords + np.array([0, 0, i * span], np.float32) for i in range(4)]
+        )
+        nlist, dists = neighbors_host(tiled, 16)
+        edges = (dists * 0.1).astype(np.float32)
+        big = Graph(
+            atoms=np.zeros((len(tiled), 10), np.float32),
+            nlist=nlist.astype(np.int32), edges=edges,
+            inv_degree=inv_degree_np(nlist),
+        )
+        order = rcm_order(big.nlist, big.edges)
+        big, _ = permute_graph(big, order)
+        bigp = pad_to_multiple(to_jnp(big), 4 * 128)
+        rep_big = halo_comm_report(make_halo_plan(np.asarray(bigp.nlist), 4))
+        assert rep_big.ratio < 0.5
+        assert rep_big.ratio < rep_small.ratio
+
     def test_jit_compiles(self, graph_rcm):
         g, _ = graph_rcm
         gp = pad_to_multiple(to_jnp(g), 4 * 128)

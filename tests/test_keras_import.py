@@ -95,6 +95,27 @@ def test_import_rejects_non_model_checkpoint(tmp_path):
         import_reference_checkpoint(prefix)
 
 
+def test_cli_import_reference(tmp_path):
+    """`nmrgnn-tpu import-reference <ckpt> <dir>` converts reference
+    weights into a loadable native model dir (VERDICT r2 item 10)."""
+    from click.testing import CliRunner
+
+    from nmrgnn_tpu.cli import main as cli_main
+    from nmrgnn_tpu.library import load_model
+
+    prefix = make_reference_style_checkpoint(tmp_path, CFG, seed=3)
+    out = str(tmp_path / "imported")
+    res = CliRunner().invoke(cli_main, ["import-reference", prefix, out])
+    assert res.exit_code == 0, res.output
+    params, cfg = load_model(out)
+    assert cfg.mp_layers == 2 and len(params["mp"]) == 2
+    rng = np.random.default_rng(11)
+    g = rand_graph(rng)
+    got = np.asarray(apply(params, cfg, g))
+    want = numpy_forward(params, cfg, g)
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
 def test_baseline_index_readable():
     """The bundled reference checkpoint's index (weights blob absent in
     this mount) still yields the full shape map — guards the name scheme

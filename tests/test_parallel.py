@@ -146,6 +146,39 @@ class TestParallelTraining:
         # params stay sharded across the run
         assert "graph" in str(state.params["mp"][0]["w"].sharding.spec)
 
+    def test_compiled_epoch_matches_per_batch_under_mesh(self, tmp_path_factory):
+        """The lax.scan compiled-epoch path now runs under a mesh
+        (VERDICT r2 item 6) and produces the same trained params as the
+        per-batch mesh path (noise/dropout off so rngs are inert)."""
+        from nmrgnn_tpu.config import TrainConfig
+        from nmrgnn_tpu.train.trainer import Trainer
+
+        path = str(tmp_path_factory.mktemp("tc") / "f.tfrecord")
+        struct = read_structure(PDB_108M)
+        write_structure_fragments(path, struct, frames=range(1), fragment_size=64)
+        samples = list(read_fragments(path))[:16]
+        mesh = make_mesh(data=4, graph=2)
+        results = []
+        for compiled in (True, False):
+            tr = Trainer(
+                CFG,
+                TrainConfig(
+                    epochs=2, batch_size=8, pad_to=64,
+                    compiled_epochs=compiled, seed=5,
+                ),
+                mesh=mesh,
+            )
+            state = tr.fit(samples, [], verbose=False)
+            results.append(state)
+        a, b = results
+        np.testing.assert_allclose(
+            a.history["loss"], b.history["loss"], rtol=1e-5
+        )
+        for x, y in zip(jax.tree.leaves(a.params), jax.tree.leaves(b.params)):
+            np.testing.assert_allclose(
+                np.asarray(x), np.asarray(y), rtol=1e-5, atol=1e-6
+            )
+
     def test_sharded_param_layouts(self):
         params = init_params(jax.random.PRNGKey(0), CFG)
         mesh = make_mesh(data=4, graph=2)

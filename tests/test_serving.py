@@ -69,6 +69,38 @@ def test_predict_frames_matches_per_frame():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_serving_attention_family():
+    """mp_type='attention' (AMPLayer params wq/wk/wv) must serve through
+    the gather fallback instead of KeyError'ing in the bilinear fast
+    paths (VERDICT r2 item 7) — in both predict and predict_frames."""
+    cfg = CFG.replace(mp_type="attention")
+    struct = read_structure(PDB_7LGI)
+    graphs = [structure2graph(struct, frame=i) for i in range(2)]
+    params = init_params(jax.random.PRNGKey(2), cfg)
+    for use_pallas in (False, True):
+        sm = ServingModel(params, cfg, use_pallas=use_pallas)
+        got = sm.predict(graphs[0])
+        want = np.asarray(
+            apply(params, cfg, Graph(*[jnp.asarray(a) for a in graphs[0]]))
+        )
+        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+        assert sm._resolved == "gather"
+    sm = ServingModel(params, cfg)
+    got = sm.predict_frames(graphs)
+    for i, g in enumerate(graphs):
+        want = np.asarray(apply(params, cfg, Graph(*[jnp.asarray(a) for a in g])))
+        np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
+
+
+def test_serving_default_precision_exact():
+    """Approximation is opt-in: the default ServingModel keeps f32
+    numerics (ADVICE r2 medium)."""
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    sm = ServingModel(params, CFG)
+    assert sm.precision == "exact"
+    assert sm.config.compute_dtype == "float32"
+
+
 def test_vmapped_banded_matches_per_frame_interpret():
     """The batched banded math (vmapped Pallas kernels, union plan) is
     frame-wise identical to the single-frame banded forward."""
