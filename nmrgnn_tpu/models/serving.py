@@ -5,8 +5,13 @@ Path selection (first call, then fixed):
   * banded Pallas MP (ops/banded.py) when the RCM band plan fits VMEM
     (plan_fits_vmem) — the fast path for whole-protein graphs up to ~8k
     atoms at F=256;
-  * block-sparse Pallas MP (ops/blocksparse.py) for larger graphs;
-  * XLA block path on CPU.
+  * banded MP with the node table in HBM (mp_banded_hbm, double-buffered
+    window DMA) for larger graphs whose RCM band is still narrow — no
+    VMEM bound on atom count;
+  * block-sparse Pallas MP (ops/blocksparse.py) when the band is too
+    wide for a per-tile window (window > ~4k lanes);
+  * XLA block path on CPU; jitted gather forward for attention-family
+    models.
 
 Per-frame reuse: the RCM atom ordering is fixed by the first frame; each
 subsequent frame verifies the cached band plan / block pattern against
@@ -61,8 +66,9 @@ class ServingModel:
             matches models.gnn.apply to f32 roundoff. Approximation is
             opt-in, so predict() numerics don't silently change.
           * "fast" — bf16 MXU arithmetic with f32 accumulation plus the
-            Chebyshev-compressed edge stage (ops/edgefn.py, ~4e-7 edge
-            error). The production serving configuration: end-to-end
+            Chebyshev-compressed edge stage (ops/edgefn.py; measured
+            ~1e-6 max edge error at the shipped degree-64 fit — the f32
+            floor). The production serving configuration: end-to-end
             peak mean abs diff ~7e-3 ppm vs exact (BENCHMARKS.md), well
             inside the model's ~0.3-1 ppm rmsd.
 
@@ -128,6 +134,20 @@ class ServingModel:
                 return plan
         return None
 
+    # window cap for the HBM-table path: per-tile working set (double-
+    # buffered [W, F] windows + band tile + weights) must fit VMEM even
+    # though the node table itself no longer has to
+    _HBM_MAX_WINDOW = 4096
+
+    def _plan_if_hbm(self, g: Graph):
+        """Band plan for the HBM-node-table path (mp_banded_hbm): only
+        the per-tile working set is VMEM-bound, so any graph with a
+        moderate RCM bandwidth qualifies regardless of atom count."""
+        plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
+        if plan.window <= self._HBM_MAX_WINDOW:
+            return plan
+        return None
+
     def _resolve_mode(self, g: Graph) -> str:
         if self._resolved is not None:
             return self._resolved
@@ -145,12 +165,21 @@ class ServingModel:
                 self._resolved = "banded"
                 self._plan = plan
             else:
-                self._resolved = "blocksparse"
+                plan = self._plan_if_hbm(g)
+                if plan is not None:
+                    self._resolved = "banded_hbm"
+                    self._plan = plan
+                else:
+                    self._resolved = "blocksparse"
         return self._resolved
 
     def _banded_plan(self, g: Graph):
         if self._plan is None or not plan_covers(self._plan, g.nlist, g.edges):
-            plan = self._plan_if_fits(g)
+            plan = (
+                self._plan_if_hbm(g)
+                if self._resolved == "banded_hbm"
+                else self._plan_if_fits(g)
+            )
             if plan is None:  # forced mode="banded" on an oversized graph
                 plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
             self._plan = plan
@@ -185,8 +214,9 @@ class ServingModel:
             )
         return self._cheb
 
-    def _banded_fwd(self, plan):
-        key = ("banded", plan.window, plan.n_padded, plan.block_rows)
+    def _banded_fwd(self, plan, hbm: bool = False):
+        key = ("banded_hbm" if hbm else "banded",
+               plan.window, plan.n_padded, plan.block_rows)
         fn = self._jit_cache.get(key)
         if fn is None:
             config = self.config
@@ -197,7 +227,8 @@ class ServingModel:
                 # `lo` rides as a runtime array so plan rebuilds with the
                 # same (window, n_padded) bucket reuse this compilation.
                 return apply_banded(
-                    params, config, graph, plan._replace(lo=lo), cheb=cheb
+                    params, config, graph, plan._replace(lo=lo), cheb=cheb,
+                    hbm_table=hbm,
                 )
 
             self._jit_cache[key] = fn
@@ -253,9 +284,11 @@ class ServingModel:
         gj = Graph(*[jnp.asarray(a) for a in g])
         if mode == "gather":
             peaks = self._gather_fwd()(self.params, gj)
-        elif mode == "banded":
+        elif mode in ("banded", "banded_hbm"):
             plan = self._banded_plan(g)
-            peaks = self._banded_fwd(plan)(self.params, gj, jnp.asarray(plan.lo))
+            peaks = self._banded_fwd(plan, hbm=mode == "banded_hbm")(
+                self.params, gj, jnp.asarray(plan.lo)
+            )
         else:
             s = self._block_struct(g)
             peaks = self._blocksparse_fwd(s)(

@@ -15,9 +15,11 @@ polynomial per channel, fit against the exact network on a dense grid,
 then evaluated with an FMA-only recurrence inside the band-build kernel
 (ops/banded.py build_band_poly). Beyond ``d_hi`` every RBF bump has
 decayed to ~0 so e is constant; distances are clamped into the fitted
-domain, preserving that plateau. Accuracy: degree ~96 reproduces the
-exact stage to ~1e-5 absolute — two orders tighter than the bf16
-arithmetic it feeds.
+domain, preserving that plateau. Accuracy (measured against the exact
+network on a 20k-point grid, baseline weights): the shipped degree-64
+fit reproduces the exact stage to ~1e-6 max absolute error — the f32
+floor (degree 48 measures the same ~1e-6; raising the degree does not
+improve it) and far tighter than the bf16 arithmetic it feeds.
 """
 from __future__ import annotations
 
