@@ -64,7 +64,11 @@ def main():
     ap.add_argument("--workdir", default="/tmp/nmracc")
     ap.add_argument("--ref-epochs", type=int, default=30)
     ap.add_argument("--ours-epochs", type=int, default=240)
+    ap.add_argument("--ours-batch", type=int, default=8)
     ap.add_argument("--skip-reference", action="store_true")
+    ap.add_argument("--retrain-reference", action="store_true",
+                    help="retrain the reference even if its eval CSVs are "
+                         "already in the workdir")
     args = ap.parse_args()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -78,11 +82,17 @@ def main():
         run([sys.executable, "-m", "nmrgnn_tpu.cli", "make-organic",
              organic, "--molecules", "200"])
 
+    # ours: the framework's native recipe (warmup+cosine, parameter EMA,
+    # best-val restore — trainer defaults stay reference-parity; these
+    # flags are the documented production recipe)
     model_dir = os.path.join(wd, "model")
     run([sys.executable, "-m", "nmrgnn_tpu.cli", "train",
          protein, organic, model_dir, str(args.ours_epochs),
          "--checkpoint-path", os.path.join(wd, "ckpt"),
-         "--validation", "0.1"])
+         "--validation", "0.1",
+         "--batch-size", str(args.ours_batch),
+         "--lr-schedule", "cosine", "--warmup-epochs", "5",
+         "--ema-decay", "0.999", "--restore-best"])
 
     # our eval (eval-tfrecords writes model.csv in cwd; keep per-set copies)
     import shutil
@@ -100,11 +110,16 @@ def main():
     if not args.skip_reference:
         ref_csv_p = os.path.join(wd, "ref_P.csv")
         ref_csv_m = os.path.join(wd, "ref_Mol.csv")
-        env = dict(os.environ, TF_USE_LEGACY_KERAS="1", JAX_PLATFORMS="cpu",
-                   CUDA_VISIBLE_DEVICES="-1")
-        run([sys.executable, os.path.join(REPO, "benchmarks", "_ref_train_eval.py"),
-             f"{protein},{organic}", str(args.ref_epochs),
-             f"{protein}:{ref_csv_p}", f"{organic}:{ref_csv_m}"], env=env)
+        cached = os.path.exists(ref_csv_p) and os.path.exists(ref_csv_m)
+        if args.retrain_reference or not cached:
+            env = dict(os.environ, TF_USE_LEGACY_KERAS="1", JAX_PLATFORMS="cpu",
+                       CUDA_VISIBLE_DEVICES="-1")
+            run([sys.executable,
+                 os.path.join(REPO, "benchmarks", "_ref_train_eval.py"),
+                 f"{protein},{organic}", str(args.ref_epochs),
+                 f"{protein}:{ref_csv_p}", f"{organic}:{ref_csv_m}"], env=env)
+        else:
+            print(f"reusing cached reference eval CSVs in {wd}")
         ref.update(table_from_csv(ref_csv_p, "P"))
         ref.update(table_from_csv(ref_csv_m, "Mol"))
 
@@ -119,17 +134,29 @@ def main():
         "This table instead establishes *implementation* accuracy parity:",
         "both frameworks trained from scratch on the same synthetic fragment",
         "corpus (108M + 7lgi frames + organic), matched optimizer-update",
-        f"count (ours: batch 8 x {args.ours_epochs} epochs; reference: its own",
-        f"unbatched regime x {args.ref_epochs} epochs), NameLoss s=1,",
-        "Adam 1e-4, evaluated identically (Pearson r and the",
-        "reference's mean-squared-error 'rmsd' columns, quirk C4).",
+        f"count (ours: batch {args.ours_batch} x {args.ours_epochs} epochs;",
+        f"reference: its own unbatched regime x {args.ref_epochs} epochs),",
+        "NameLoss s=1, Adam peak lr 1e-4, evaluated identically (Pearson r",
+        "and the reference's mean-squared-error 'rmsd' columns, quirk C4).",
+        "Each stack trains with its own production recipe: the reference",
+        "with its published callbacks (constant-floor plateau LR,",
+        "reference main.py:54-55), ours with the framework's native recipe",
+        "(warmup+cosine decay, parameter EMA, best-validation restore).",
+        "O/S element rows carry no shift standards (peak_std=0) and are",
+        "excluded by both stacks.",
         "",
         "Generated by `python benchmarks/accuracy.py`.",
         "",
         "| metric | N | ours | reference TF |",
         "|---|---|---|---|",
     ]
-    for key in sorted(set(ours) | set(ref)):
+    def has_standard(key):
+        # element letter between the data-name and -r/-rmsd suffix;
+        # O and S carry no shift standard (peak_std=0, Appendix A)
+        elem = key.split("-")[1]
+        return elem not in ("O", "S")
+
+    for key in sorted(k for k in (set(ours) | set(ref)) if has_standard(k)):
         o = ours.get(key)
         r = ref.get(key)
         lines.append(

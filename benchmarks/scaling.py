@@ -126,8 +126,14 @@ def main():
 
             row(f"banded fast (W={plan.window})", t_of(banded, n))
         else:
-            print(f"| {n} | banded | (plan exceeds VMEM: W={plan.window}) | |",
-                  flush=True)
+            # node table exceeds VMEM: the HBM-table kernel takes over
+            def banded_hbm(c):
+                g2 = grj._replace(edges=grj.edges + c[:, None] * 1e-30)
+                return apply_banded(
+                    params, cfg16, g2, plan, cheb=cheb, hbm_table=True
+                )
+
+            row(f"banded HBM-table (W={plan.window})", t_of(banded_hbm, n))
 
         struct = precompute_structure(
             Graph(*[np.asarray(a) for a in gr]), pair_rounding=32, group=4
