@@ -109,5 +109,7 @@ def run_hyper(
         f.write(best_cfg.to_json())
     from ..library import save_model
 
-    save_model(os.path.join(tuning_path, "best_model"), best_state.params, best_cfg)
+    save_model(
+        os.path.join(tuning_path, "best_model"), best_state.eval_params, best_cfg
+    )
     return best_cfg
