@@ -69,6 +69,9 @@ def main():
     ap.add_argument("--retrain-reference", action="store_true",
                     help="retrain the reference even if its eval CSVs are "
                          "already in the workdir")
+    ap.add_argument("--reuse-model", action="store_true",
+                    help="skip our training if the workdir model exists "
+                         "(it must have been trained with the same recipe)")
     args = ap.parse_args()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -86,13 +89,19 @@ def main():
     # best-val restore — trainer defaults stay reference-parity; these
     # flags are the documented production recipe)
     model_dir = os.path.join(wd, "model")
-    run([sys.executable, "-m", "nmrgnn_tpu.cli", "train",
-         protein, organic, model_dir, str(args.ours_epochs),
-         "--checkpoint-path", os.path.join(wd, "ckpt"),
-         "--validation", "0.1",
-         "--batch-size", str(args.ours_batch),
-         "--lr-schedule", "cosine", "--warmup-epochs", "5",
-         "--ema-decay", "0.999", "--restore-best"])
+    if args.reuse_model and os.path.exists(os.path.join(model_dir, "params.msgpack")):
+        print(f"reusing trained model in {model_dir}")
+        run_train = False
+    else:
+        run_train = True
+    if run_train:
+        run([sys.executable, "-m", "nmrgnn_tpu.cli", "train",
+             protein, organic, model_dir, str(args.ours_epochs),
+             "--checkpoint-path", os.path.join(wd, "ckpt"),
+             "--validation", "0.1",
+             "--batch-size", str(args.ours_batch),
+             "--lr-schedule", "cosine", "--warmup-epochs", "5",
+             "--ema-decay", "0.999", "--restore-best"])
 
     # our eval (eval-tfrecords writes model.csv in cwd; keep per-set copies)
     import shutil

@@ -92,6 +92,29 @@ def test_serving_attention_family():
         np.testing.assert_allclose(got[i], want, rtol=1e-4, atol=1e-4)
 
 
+def test_serving_selects_hbm_banded_for_large_graphs():
+    """Past plan_fits_vmem, auto mode picks the HBM-node-table banded
+    path (narrow band, any atom count) before block-sparse."""
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    rng = np.random.default_rng(0)
+    n, k = 16384, 8  # node table ~16 MB f32: past the VMEM budget
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-100, 100, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.zeros((n, 10), np.float32),
+        nlist=nlist, edges=dists,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False)
+    assert sm._resolve_mode(g) == "banded_hbm"
+    plan = sm._banded_plan(g)
+    assert plan.window <= sm._HBM_MAX_WINDOW
+
+
 def test_serving_default_precision_exact():
     """Approximation is opt-in: the default ServingModel keeps f32
     numerics (ADVICE r2 medium)."""
