@@ -31,6 +31,7 @@ from ..ops.banded import (
     mp_banded,
     mp_banded_df,
     mp_banded_hbm,
+    mp_banded_partial,
     mp_banded_xla,
     plan_fits_vmem,
 )
@@ -234,6 +235,72 @@ def apply_banded(
             )
         else:
             nodes = mp_banded_xla(M, plan, nodes, w, inv_p, config.mp_activation)
+
+    nodes = nodes[:n].astype(jnp.float32)
+    return _readout(params, config, atoms, nodes)
+
+
+def apply_banded_attention(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    plan: BandPlan,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Attention-family (AMPLayer) forward on the RCM-banded fast path.
+
+    The AMP aggregation (reference layers.py:82-96) factors through the
+    same band structure as the bilinear layer: with per-slot softmax
+    weights a[i, j],
+
+        out[i] = act( (sum_j a[i, j] * nodes[nlist[i, j]]) @ wv )
+
+    is a banded aggregation with ONE edge channel (the attention weight)
+    followed by a dense [F, F] matmul — so the existing build_band /
+    mp_banded_partial kernels serve it with E=1. The [N, K]-sized logit/
+    softmax stage is VPU-trivial and stays in XLA.
+
+    Quirk parity: the reference softmax runs over ALL K neighbor slots,
+    padding included — padding slots (nlist = 0, edges = 0) receive
+    softmax weight and contribute a * nodes[0] @ wv. Row 0 is generally
+    outside other tiles' band windows, so those contributions are pulled
+    out of the band: padding weights are zeroed before the band build and
+    re-added exactly as a rank-1 term c[i] * (nodes[0] @ wv), where
+    c[i] = sum of row i's padding-slot weights.
+
+    Unlike the bilinear banded path the band depends on the node features
+    (the query), so build_band runs once per MP layer rather than once
+    per forward. Numerics match models.gnn.apply in f32.
+    """
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    mp_act = get_activation(config.mp_activation)
+
+    e = _edge_features(params, config, edges)  # [n, K, E] f32
+    real = edges > 0                           # [n, K]
+    pad = plan.n_padded - n
+    nodes = jnp.pad(_dense(params["embed"], atoms), ((0, pad), (0, 0)))
+    lo = jnp.asarray(plan.lo)
+
+    for p in params["mp"]:
+        query = nodes[:n] @ p["wq"]                       # [n, E]
+        keys = jnp.einsum("ijk,kl->ijl", e, p["wk"])      # [n, K, E]
+        logits = inv_degree[:, None] * jnp.einsum("ijk,ik->ij", keys, query)
+        a = jax.nn.softmax(logits, axis=-1)               # [n, K]
+        a_band = jnp.where(real, a, 0.0)
+        c = jnp.sum(jnp.where(real, 0.0, a), axis=-1)     # [n] padding mass
+        M = build_band(
+            nlist, a_band[..., None], plan,
+            out_dtype=compute_dtype, interpret=interpret,
+        )
+        acc = mp_banded_partial(
+            M, lo, nodes.astype(compute_dtype),
+            p["wv"].astype(compute_dtype)[:, :, None], interpret=interpret,
+        )                                                  # [n_padded, F]
+        row0v = nodes[0] @ p["wv"]                         # [F]
+        upd = mp_act(acc[:n] + c[:, None] * row0v[None, :])
+        nodes = nodes.at[:n].add(upd)
 
     nodes = nodes[:n].astype(jnp.float32)
     return _readout(params, config, atoms, nodes)

@@ -10,8 +10,11 @@ Path selection (first call, then fixed):
     VMEM bound on atom count;
   * block-sparse Pallas MP (ops/blocksparse.py) when the band is too
     wide for a per-tile window (window > ~4k lanes);
-  * XLA block path on CPU; jitted gather forward for attention-family
-    models.
+  * XLA block path on CPU;
+  * attention-family (AMPLayer) models ride the banded path too — the
+    softmax-weighted aggregation is a one-channel band
+    (infer.apply_banded_attention) — with a jitted gather forward as
+    the fallback when the band does not fit.
 
 Per-frame reuse: the RCM atom ordering is fixed by the first frame; each
 subsequent frame verifies the cached band plan / block pattern against
@@ -45,7 +48,7 @@ from ..ops.banded import (
     plan_fits_vmem,
 )
 from ..ops.blocksparse import block_structure, remap_frame
-from .infer import apply_banded, apply_blocksparse
+from .infer import apply_banded, apply_banded_attention, apply_blocksparse
 
 
 class ServingModel:
@@ -73,9 +76,9 @@ class ServingModel:
             inside the model's ~0.3-1 ppm rmsd.
 
         Attention-family models (config.mp_type == "attention", reference
-        AMPLayer layers.py:48-100) have no banded/block-sparse kernel;
-        they are served through a jitted gather forward instead of
-        raising from the bilinear fast paths.
+        AMPLayer layers.py:48-100) are served through the banded fast
+        path with a one-channel attention band (apply_banded_attention)
+        when the plan fits VMEM, else through a jitted gather forward.
         """
         if precision not in ("fast", "exact"):
             raise ValueError(f"unknown precision {precision!r}")
@@ -148,13 +151,35 @@ class ServingModel:
             return plan
         return None
 
+    def _plan_if_attn(self, g: Graph):
+        """Band plan for the attention fast path: one band channel (the
+        softmax weight), no fused edge build — only the E=1 working set
+        has to fit VMEM."""
+        for block_rows in (self.block_size, self.block_size // 2):
+            plan = band_plan(g.nlist, g.edges, block_rows=block_rows)
+            if plan_fits_vmem(
+                plan, self.config.atom_feature_size, n_edge_channels=1,
+                dtype_bytes=np.dtype(self.config.compute_dtype).itemsize,
+            ):
+                return plan
+        return None
+
     def _resolve_mode(self, g: Graph) -> str:
         if self._resolved is not None:
             return self._resolved
         if self.config.mp_type != "bilinear":
-            # AMPLayer-family params (wq/wk/wv) have no banded/block
-            # kernel; serve via the jitted gather forward.
-            self._resolved = "gather"
+            # AMPLayer-family params (wq/wk/wv): one-channel attention
+            # band when it fits, else the jitted gather forward.
+            plan = (
+                self._plan_if_attn(g)
+                if self.config.mp_type == "attention" and self.use_pallas
+                else None
+            )
+            if plan is not None:
+                self._resolved = "banded_attn"
+                self._plan = plan
+            else:
+                self._resolved = "gather"
         elif self.mode != "auto":
             self._resolved = self.mode
         elif not self.use_pallas:
@@ -175,11 +200,12 @@ class ServingModel:
 
     def _banded_plan(self, g: Graph):
         if self._plan is None or not plan_covers(self._plan, g.nlist, g.edges):
-            plan = (
-                self._plan_if_hbm(g)
-                if self._resolved == "banded_hbm"
-                else self._plan_if_fits(g)
-            )
+            if self._resolved == "banded_hbm":
+                plan = self._plan_if_hbm(g)
+            elif self._resolved == "banded_attn":
+                plan = self._plan_if_attn(g)
+            else:
+                plan = self._plan_if_fits(g)
             if plan is None:  # forced mode="banded" on an oversized graph
                 plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
             self._plan = plan
@@ -229,6 +255,21 @@ class ServingModel:
                 return apply_banded(
                     params, config, graph, plan._replace(lo=lo), cheb=cheb,
                     hbm_table=hbm,
+                )
+
+            self._jit_cache[key] = fn
+        return fn
+
+    def _banded_attn_fwd(self, plan):
+        key = ("banded_attn", plan.window, plan.n_padded, plan.block_rows)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            config = self.config
+
+            @jax.jit
+            def fn(params, graph, lo):
+                return apply_banded_attention(
+                    params, config, graph, plan._replace(lo=lo)
                 )
 
             self._jit_cache[key] = fn
@@ -284,6 +325,11 @@ class ServingModel:
         gj = Graph(*[jnp.asarray(a) for a in g])
         if mode == "gather":
             peaks = self._gather_fwd()(self.params, gj)
+        elif mode == "banded_attn":
+            plan = self._banded_plan(g)
+            peaks = self._banded_attn_fwd(plan)(
+                self.params, gj, jnp.asarray(plan.lo)
+            )
         elif mode in ("banded", "banded_hbm"):
             plan = self._banded_plan(g)
             peaks = self._banded_fwd(plan, hbm=mode == "banded_hbm")(

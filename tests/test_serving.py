@@ -150,3 +150,50 @@ def test_vmapped_banded_matches_per_frame_interpret():
         )
         np.testing.assert_allclose(np.asarray(batched[i]), want,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_attention_banded_matches_gather_interpret():
+    """AMPLayer forward via the one-channel attention band equals the
+    gather forward (incl. the reference's unmasked-padding softmax quirk:
+    padding slots contribute weight * nodes[0] @ wv)."""
+    from nmrgnn_tpu.models.infer import apply_banded_attention, precompute_band
+
+    cfg = CFG.replace(mp_type="attention")
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    gj = Graph(*[jnp.asarray(a) for a in g])
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    want = np.asarray(apply(params, cfg, gj))
+    plan = precompute_band(g)
+    got = np.asarray(
+        apply_banded_attention(params, cfg, gj, plan, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+
+
+def test_attention_serving_path_selection():
+    """Attention models resolve to the banded attention fast path when the
+    band fits, and to the gather fallback when it does not."""
+    cfg = CFG.replace(mp_type="attention")
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    sm = ServingModel(params, cfg, use_pallas=True, reorder=False)
+    assert sm._resolve_mode(g) == "banded_attn"
+
+    # scrambled wide-band graph too large for VMEM: gather fallback
+    rng = np.random.default_rng(0)
+    n, k = 32768, 8
+    nlist = rng.integers(0, n, (n, k)).astype(np.int32)
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    g2 = Graph(
+        atoms=np.zeros((n, 10), np.float32),
+        nlist=nlist,
+        edges=rng.uniform(0.01, 0.2, (n, k)).astype(np.float32),
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    sm2 = ServingModel(params, cfg, use_pallas=True, reorder=False)
+    assert sm2._resolve_mode(g2) == "gather"
