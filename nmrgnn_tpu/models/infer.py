@@ -32,6 +32,7 @@ from ..ops.banded import (
     mp_banded_df,
     mp_banded_hbm,
     mp_banded_partial,
+    mp_banded_partial_df,
     mp_banded_xla,
     plan_fits_vmem,
 )
@@ -246,6 +247,9 @@ def apply_banded_attention(
     graph: Graph,
     plan: BandPlan,
     interpret: bool = False,
+    differentiable: bool = False,
+    training: bool = False,
+    rng=None,
 ) -> jnp.ndarray:
     """Attention-family (AMPLayer) forward on the RCM-banded fast path.
 
@@ -271,14 +275,29 @@ def apply_banded_attention(
     Unlike the bilinear banded path the band depends on the node features
     (the query), so build_band runs once per MP layer rather than once
     per forward. Numerics match models.gnn.apply in f32.
+
+    ``differentiable=True`` swaps in the custom-VJP kernel wrappers so
+    jax.grad flows to every trainable leaf; ``training=True`` (requires
+    ``rng``) additionally applies the reference's Gaussian distance noise
+    and readout dropout (reference model.py:253,266-267).
     """
     atoms, nlist, edges, inv_degree = graph
     n = atoms.shape[0]
     compute_dtype = jnp.dtype(config.compute_dtype)
     mp_act = get_activation(config.mp_activation)
 
-    e = _edge_features(params, config, edges)  # [n, K, E] f32
+    band_build = build_band_df if differentiable else build_band
+    banded_partial = mp_banded_partial_df if differentiable else mp_banded_partial
+
     real = edges > 0                           # [n, K]
+    # padding mask from the ORIGINAL distances, before noise
+    edge_mask = real.astype(jnp.float32)[..., None]
+    if training and config.noise > 0:
+        if rng is None:
+            raise ValueError("training=True requires rng")
+        rng, nrng = jax.random.split(rng)
+        edges = edges + config.noise * jax.random.normal(nrng, edges.shape, edges.dtype)
+    e = _edge_features(params, config, edges, mask=edge_mask)  # [n, K, E] f32
     pad = plan.n_padded - n
     nodes = jnp.pad(_dense(params["embed"], atoms), ((0, pad), (0, 0)))
     lo = jnp.asarray(plan.lo)
@@ -290,11 +309,11 @@ def apply_banded_attention(
         a = jax.nn.softmax(logits, axis=-1)               # [n, K]
         a_band = jnp.where(real, a, 0.0)
         c = jnp.sum(jnp.where(real, 0.0, a), axis=-1)     # [n] padding mass
-        M = build_band(
+        M = band_build(
             nlist, a_band[..., None], plan,
             out_dtype=compute_dtype, interpret=interpret,
         )
-        acc = mp_banded_partial(
+        acc = banded_partial(
             M, lo, nodes.astype(compute_dtype),
             p["wv"].astype(compute_dtype)[:, :, None], interpret=interpret,
         )                                                  # [n_padded, F]
@@ -303,6 +322,19 @@ def apply_banded_attention(
         nodes = nodes.at[:n].add(upd)
 
     nodes = nodes[:n].astype(jnp.float32)
+    if training and config.dropout:
+        fc_act = get_activation(config.fc_activation)
+        for p in params["fc"][:-1]:
+            nodes = _dense(p, nodes, fc_act) + nodes
+        nodes = _dense(params["fc"][-1], nodes, fc_act)
+        rng, drng = jax.random.split(rng)
+        keep = 1.0 - config.dropout_rate
+        mask = jax.random.bernoulli(drng, keep, nodes.shape)
+        nodes = jnp.where(mask, nodes / keep, 0.0)
+        full_peaks = _dense(params["out"], nodes)
+        peak_std = jax.lax.stop_gradient(params["peak_std"])
+        peak_avg = jax.lax.stop_gradient(params["peak_avg"])
+        return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)
     return _readout(params, config, atoms, nodes)
 
 

@@ -612,6 +612,98 @@ def mp_banded_partial(
     )(lo.astype(jnp.int32), M, table, w_t)
 
 
+def mp_banded_partial_xla(
+    M: jnp.ndarray,        # [T, E, B, W]
+    lo: jnp.ndarray,       # i32[T]
+    table: jnp.ndarray,    # [Nt, F]
+    w: jnp.ndarray,        # [F, F, E]
+) -> jnp.ndarray:
+    """Pure-XLA mp_banded_partial (oracle + backward form for the df
+    wrapper): sum_n (M_n @ table_window) @ w_n -> f32[T*B, F]."""
+    T, E, B, W = M.shape
+    F = table.shape[-1]
+    wins = jax.vmap(
+        lambda l: jax.lax.dynamic_slice(table, (l, 0), (W, F))
+    )(lo)  # [T, W, F]
+    h = jnp.einsum(
+        "tebw,twf->tebf", M.astype(jnp.float32), wins.astype(jnp.float32)
+    )
+    out = jnp.einsum(
+        "tebf,efm->tbm", h, jnp.moveaxis(w, -1, 0).astype(jnp.float32)
+    )
+    return out.reshape(T * B, F)
+
+
+def mp_banded_partial_df(
+    M: jnp.ndarray,
+    lo: jnp.ndarray,
+    table: jnp.ndarray,
+    w: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable mp_banded_partial: Pallas forward, XLA-oracle VJP
+    (window slices transpose to dynamic-update scatter-adds — no [N,K,F]
+    gather anywhere in the backward)."""
+
+    @jax.custom_vjp
+    def f(M, table, w):
+        return mp_banded_partial(M, lo, table, w, interpret=interpret)
+
+    def fwd(M, table, w):
+        return f(M, table, w), (M, table, w)
+
+    def bwd(res, g):
+        M, table, w = res
+        _, vjp = jax.vjp(
+            lambda M, table, w: mp_banded_partial_xla(M, lo, table, w),
+            M, table, w,
+        )
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f(M, table, w)
+
+
+def build_band_tracedlo_df(
+    nlist: jnp.ndarray,       # i32[M, K] (M multiple of block_rows)
+    edge_feats: jnp.ndarray,  # f32[M, K, E] — differentiated
+    lo: jnp.ndarray,          # i32[T] traced
+    window: int,
+    block_rows: int = 128,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable build_band_tracedlo (grads flow to ``edge_feats``);
+    backward is the same window take_along_axis as build_band_df, with
+    traced window starts."""
+    m, k = nlist.shape
+    t = m // block_rows
+
+    @jax.custom_vjp
+    def f(e):
+        return build_band_tracedlo(
+            nlist, e, lo, window, block_rows,
+            out_dtype=out_dtype, interpret=interpret,
+        )
+
+    def fwd(e):
+        return f(e), ()
+
+    def bwd(_, gM):
+        e_ch = gM.shape[1]
+        rows = jnp.arange(m) // block_rows
+        rel = nlist - lo[rows][:, None]                     # [M, K]
+        valid = (rel >= 0) & (rel < window)
+        relc = jnp.clip(rel, 0, window - 1)
+        gmr = jnp.moveaxis(gM.astype(jnp.float32), 1, -1)
+        gmr = gmr.reshape(t * block_rows, window, e_ch)
+        de = jax.vmap(lambda row, idx: row[idx])(gmr, relc)  # [M, K, E]
+        return (jnp.where(valid[..., None], de, 0.0),)
+
+    f.defvjp(fwd, bwd)
+    return f(edge_feats)
+
+
 # ---------------------------------------------------------------------------
 # Differentiable wrappers — training THROUGH the fast path (the reference
 # trains through its hot op via Keras autodiff, reference layers.py:39-40;

@@ -233,9 +233,18 @@ def apply_partitioned_banded(
     mesh: Mesh,
     axis: str = "graph",
     interpret: bool = False,
+    differentiable: bool = False,
 ) -> jnp.ndarray:
-    """Multi-chip inference forward with per-shard Pallas banded MP and
-    overlapped halo exchange. Equals the single-device forward in f32.
+    """Multi-chip forward with per-shard Pallas banded MP and overlapped
+    halo exchange. Equals the single-device forward in f32.
+
+    ``differentiable=True`` swaps the Pallas calls for their custom-VJP
+    wrappers (ops/banded build_band_tracedlo_df / mp_banded_partial_df)
+    so jax.grad flows through the whole partitioned forward — shard_map,
+    the all_to_all halo exchange (its transpose is the reverse
+    all_to_all), and the banded kernels — enabling graph-partitioned
+    (context-parallel) TRAINING, not just inference. The reference has
+    no multi-device training at all (SURVEY.md §2.3).
 
     Per MP layer and shard:
       1. issue the all_to_all for the boundary rows (D*H rows out/in)
@@ -248,7 +257,16 @@ def apply_partitioned_banded(
     The graph must be RCM-ordered and padded to D * rows_per_shard atoms
     (see make_banded_halo_plan). ``interpret`` runs the Pallas kernels in
     interpreter mode (CPU tests / dryrun)."""
-    from ..ops.banded import build_band_tracedlo, mp_banded_partial
+    from ..ops.banded import (
+        build_band_tracedlo,
+        build_band_tracedlo_df,
+        mp_banded_partial,
+        mp_banded_partial_df,
+    )
+
+    if differentiable:
+        build_band_tracedlo = build_band_tracedlo_df
+        mp_banded_partial = mp_banded_partial_df
 
     base = plan.halo
     D, m, H = base.n_shards, base.rows_per_shard, base.halo_size

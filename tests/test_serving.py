@@ -70,21 +70,22 @@ def test_predict_frames_matches_per_frame():
 
 
 def test_serving_attention_family():
-    """mp_type='attention' (AMPLayer params wq/wk/wv) must serve through
-    the gather fallback instead of KeyError'ing in the bilinear fast
-    paths (VERDICT r2 item 7) — in both predict and predict_frames."""
+    """mp_type='attention' (AMPLayer params wq/wk/wv) must serve without
+    KeyError'ing in the bilinear fast paths (VERDICT r2 item 7) — via the
+    gather fallback on CPU, and via the one-channel attention band when
+    Pallas is available (numerics for that path are covered by
+    test_attention_banded_matches_gather_interpret)."""
     cfg = CFG.replace(mp_type="attention")
     struct = read_structure(PDB_7LGI)
     graphs = [structure2graph(struct, frame=i) for i in range(2)]
     params = init_params(jax.random.PRNGKey(2), cfg)
-    for use_pallas in (False, True):
-        sm = ServingModel(params, cfg, use_pallas=use_pallas)
-        got = sm.predict(graphs[0])
-        want = np.asarray(
-            apply(params, cfg, Graph(*[jnp.asarray(a) for a in graphs[0]]))
-        )
-        np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
-        assert sm._resolved == "gather"
+    sm = ServingModel(params, cfg, use_pallas=False)
+    got = sm.predict(graphs[0])
+    want = np.asarray(
+        apply(params, cfg, Graph(*[jnp.asarray(a) for a in graphs[0]]))
+    )
+    np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
+    assert sm._resolved == "gather"
     sm = ServingModel(params, cfg)
     got = sm.predict_frames(graphs)
     for i, g in enumerate(graphs):
@@ -197,3 +198,46 @@ def test_attention_serving_path_selection():
     )
     sm2 = ServingModel(params, cfg, use_pallas=True, reorder=False)
     assert sm2._resolve_mode(g2) == "gather"
+
+
+def test_attention_banded_grads_match_gather():
+    """Training through the attention fast path: custom-VJP kernels give
+    the same gradients as autodiff through the gather forward."""
+    from nmrgnn_tpu.models.infer import apply_banded_attention, precompute_band
+
+    cfg = CFG.replace(mp_type="attention")
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    gj = Graph(*[jnp.asarray(a) for a in g])
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    plan = precompute_band(g)
+    n = gj.atoms.shape[0]
+    tgt = jnp.cos(jnp.arange(n, dtype=jnp.float32) * 0.2)
+
+    def loss_fast(p):
+        peaks = apply_banded_attention(
+            p, cfg, gj, plan, interpret=True, differentiable=True
+        )
+        return jnp.mean((peaks - tgt) ** 2)
+
+    def loss_gather(p):
+        return jnp.mean((apply(p, cfg, gj) - tgt) ** 2)
+
+    gf = jax.grad(loss_fast)(params)
+    gg = jax.grad(loss_gather)(params)
+    flat_g = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(gg)
+    )
+    checked = 0
+    for k, v in jax.tree_util.tree_leaves_with_path(gf):
+        key = jax.tree_util.keystr(k)
+        if "peak_std" in key or "peak_avg" in key:
+            continue
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_g[key]),
+            rtol=2e-3, atol=2e-5, err_msg=key,
+        )
+        checked += 1
+    assert checked >= 10
