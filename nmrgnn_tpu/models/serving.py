@@ -370,7 +370,8 @@ class ServingModel:
             pairs = [permute_graph(g, self._order, pin_zero=False) for g in gs]
             gs = [p[0] for p in pairs]
             self._inverse = pairs[0][1]
-        if self._resolve_mode(gs[0]) != "banded":
+        mode = self._resolve_mode(gs[0])
+        if mode not in ("banded", "banded_attn"):
             return np.stack([self.predict(g) for g in graphs])
 
         stack = Graph(*[
@@ -392,17 +393,24 @@ class ServingModel:
             dtype_bytes = np.dtype(cfg.compute_dtype).itemsize
             if self.use_pallas and not (
                 plan_fits_vmem(
-                    union, cfg.atom_feature_size, cfg.edge_feature_size,
+                    union, cfg.atom_feature_size,
+                    1 if mode == "banded_attn" else cfg.edge_feature_size,
                     dtype_bytes=dtype_bytes,
                 )
-                and fused_build_fits(
-                    union, cfg.edge_hidden_size, cfg.edge_feature_size,
-                    stack.nlist.shape[-1], out_bytes=dtype_bytes,
+                and (
+                    mode == "banded_attn"  # no fused edge kernel there
+                    or fused_build_fits(
+                        union, cfg.edge_hidden_size, cfg.edge_feature_size,
+                        stack.nlist.shape[-1], out_bytes=dtype_bytes,
+                    )
                 )
             ):
                 return np.stack([self.predict(g) for g in graphs])
             plan = self._plan = union
-        fn = self._batched_banded_fwd(plan)
+        if mode == "banded_attn":
+            fn = self._batched_attn_fwd(plan)
+        else:
+            fn = self._batched_banded_fwd(plan)
         peaks = np.asarray(
             fn(self.params, Graph(*[jnp.asarray(a) for a in stack]),
                jnp.asarray(plan.lo))
@@ -410,6 +418,23 @@ class ServingModel:
         if self._inverse is not None:
             peaks = peaks[:, self._inverse]
         return peaks
+
+    def _batched_attn_fwd(self, plan):
+        key = ("banded_attn_batch", plan.window, plan.n_padded, plan.block_rows)
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            config = self.config
+
+            @jax.jit
+            def fn(params, gstack, lo):
+                return jax.vmap(
+                    lambda g: apply_banded_attention(
+                        params, config, g, plan._replace(lo=lo)
+                    )
+                )(gstack)
+
+            self._jit_cache[key] = fn
+        return fn
 
     def _batched_banded_fwd(self, plan):
         key = ("banded_batch", plan.window, plan.n_padded, plan.block_rows)

@@ -241,3 +241,35 @@ def test_attention_banded_grads_match_gather():
         )
         checked += 1
     assert checked >= 10
+
+
+def test_vmapped_attention_banded_matches_per_frame():
+    """Batched multi-frame attention serving math (vmapped one-channel
+    band) is frame-wise identical to the single-frame attention fast
+    path."""
+    from nmrgnn_tpu.models.infer import apply_banded_attention
+    from nmrgnn_tpu.ops.banded import band_plan_frames
+
+    cfg = CFG.replace(mp_type="attention")
+    struct = read_structure(PDB_7LGI)
+    graphs = [structure2graph(struct, 16, frame=i) for i in range(2)]
+    order = rcm_order(np.asarray(graphs[0].nlist), np.asarray(graphs[0].edges))
+    graphs = [permute_graph(g, order, pin_zero=False)[0] for g in graphs]
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    stack = Graph(*[
+        jnp.asarray(np.stack([np.asarray(getattr(g, f)) for g in graphs]))
+        for f in Graph._fields
+    ])
+    plan = band_plan_frames(np.asarray(stack.nlist), np.asarray(stack.edges))
+    batched = jax.vmap(
+        lambda g: apply_banded_attention(params, cfg, g, plan, interpret=True)
+    )(stack)
+    for i, g in enumerate(graphs):
+        want = np.asarray(
+            apply_banded_attention(
+                params, cfg, Graph(*[jnp.asarray(a) for a in g]),
+                plan, interpret=True,
+            )
+        )
+        np.testing.assert_allclose(np.asarray(batched[i]), want,
+                                   rtol=1e-5, atol=1e-5)
