@@ -373,7 +373,15 @@ def apply_partitioned_halo(
     axis: str = "graph",
 ) -> jnp.ndarray:
     """Inference forward with halo-exchange message passing. The graph
-    must be padded to plan.n_shards * plan.rows_per_shard atoms."""
+    must be padded to plan.n_shards * plan.rows_per_shard atoms.
+
+    Supports both MP families: bilinear (reference MPLayer) and
+    attention (AMPLayer, config.mp_type == "attention"). The attention
+    softmax/logit stage is purely shard-local (query from own rows, keys
+    from own edge features); only the value gather touches remote rows,
+    which the halo workspace already provides — including the row-0
+    reference of padding slots (nlist = 0 refs land in every shard's
+    halo), so the reference's unmasked-padding softmax quirk is exact."""
     D, m, H = plan.n_shards, plan.rows_per_shard, plan.halo_size
     fc_act = get_activation(config.fc_activation)
     mp_act = get_activation(config.mp_activation)
@@ -415,17 +423,26 @@ def apply_partitioned_halo(
             )  # [D, H, F]: recv[s] = rows sent by shard s
             workspace = jnp.concatenate([nodes, recv.reshape(D * H, -1)], axis=0)
             gathered = jnp.take(workspace, lnl, axis=0)  # [m, K, F]
-            h = jnp.einsum(
-                "ijn,ijl->inl",
-                e.astype(compute_dtype),
-                gathered.astype(compute_dtype),
-            )
-            upd = jnp.einsum(
-                "inl,lmn->im",
-                h,
-                lp["w"].astype(compute_dtype),
-                preferred_element_type=jnp.float32,
-            ).astype(jnp.float32) * inv_degree[:, None]
+            if config.mp_type == "attention":
+                query = nodes @ lp["wq"]                       # [m, E]
+                keys = jnp.einsum("ijk,kl->ijl", e, lp["wk"])  # [m, K, E]
+                logits = inv_degree[:, None] * jnp.einsum(
+                    "ijk,ik->ij", keys, query
+                )
+                a = jax.nn.softmax(logits, axis=-1)            # [m, K]
+                upd = jnp.einsum("ij,ijl->il", a, gathered) @ lp["wv"]
+            else:
+                h = jnp.einsum(
+                    "ijn,ijl->inl",
+                    e.astype(compute_dtype),
+                    gathered.astype(compute_dtype),
+                )
+                upd = jnp.einsum(
+                    "inl,lmn->im",
+                    h,
+                    lp["w"].astype(compute_dtype),
+                    preferred_element_type=jnp.float32,
+                ).astype(jnp.float32) * inv_degree[:, None]
             nodes = mp_act(upd) + nodes
 
         for lp in p["fc"][:-1]:
