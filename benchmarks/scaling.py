@@ -146,6 +146,27 @@ def main():
         row(f"block-sparse bf16 ({struct.n_pairs}p)", t_of(bsp, n))
 
         if tiles == 1:
+            # attention family: gather vs the one-channel-band fast path
+            from nmrgnn_tpu.models.infer import apply_banded_attention
+
+            cfg_attn = config.replace(mp_type="attention")
+            params_attn = init_params(
+                jax.random.PRNGKey(1), cfg_attn, load_standards()
+            )
+
+            def attn_gather(c):
+                g2 = gp._replace(edges=gp.edges + c[:, None] * 1e-30)
+                return gnn.apply(params_attn, cfg_attn, g2)
+
+            row("attention gather f32", t_of(attn_gather, gp.atoms.shape[0]))
+
+            def attn_banded(c):
+                g2 = grj._replace(edges=grj.edges + c[:, None] * 1e-30)
+                return apply_banded_attention(params_attn, cfg_attn, g2, plan)
+
+            row(f"attention banded f32 (W={plan.window})", t_of(attn_banded, n))
+
+        if tiles == 1:
             # training step benches (batchless whole-structure step)
             opt_state = tx.init(params)
 
