@@ -48,6 +48,56 @@ def _round_up(x, m):
     return ((x + m - 1) // m) * m
 
 
+def _global_operands(mesh: Mesh, axis: str, items):
+    """Device-put operands for the shard_map'd partitioned forwards.
+
+    ``items`` is a list of (host_array, row_sharded: bool). Single
+    process: plain jnp.asarray (jit auto-shards). Multi-process (the
+    whole-protein multi-host case, SURVEY.md §6 north star): every
+    process holds the full structure on host; each contributes its own
+    contiguous row block (mesh device order is process-contiguous) via
+    host_local_array_to_global_array, so the same apply_* call works
+    unchanged across hosts with the halo all_to_all riding cross-process
+    collectives."""
+    if jax.process_count() == 1:
+        return [jnp.asarray(a) for a, _ in items]
+    from jax.experimental import multihost_utils
+
+    pid, npc = jax.process_index(), jax.process_count()
+    out = []
+    for a, row_sharded in items:
+        a = np.asarray(a)
+        if row_sharded:
+            if a.shape[0] % npc:
+                raise ValueError(
+                    f"leading dim {a.shape[0]} not divisible by "
+                    f"{npc} processes"
+                )
+            chunk = a.shape[0] // npc
+            local, spec = a[pid * chunk : (pid + 1) * chunk], P(axis)
+        else:
+            local, spec = a, P()
+        out.append(
+            multihost_utils.host_local_array_to_global_array(local, mesh, spec)
+        )
+    return out
+
+
+def _global_params(params, mesh: Mesh):
+    """Replicate a host param pytree across a (possibly multi-process)
+    mesh; identity-ish in the single-process case."""
+    if jax.process_count() == 1:
+        return params
+    from jax.experimental import multihost_utils
+
+    return jax.tree_util.tree_map(
+        lambda x: multihost_utils.host_local_array_to_global_array(
+            np.asarray(x), mesh, P()
+        ),
+        params,
+    )
+
+
 def make_halo_plan(nlist: np.ndarray, n_shards: int, halo_multiple: int = 8) -> HaloPlan:
     """Build the exchange plan on host. Atom count must divide n_shards.
 
@@ -277,11 +327,22 @@ def apply_partitioned_banded(
     compute_dtype = jnp.dtype(config.compute_dtype)
     row = P(axis)
 
-    send_idx = jnp.asarray(base.send_idx)        # [D, D, H] replicated
-    local_nlist = jnp.asarray(base.local_nlist)  # [D, m, K] sharded
-    lo_all = jnp.asarray(plan.lo)                # [D, T] sharded
-    bids_all = jnp.asarray(plan.boundary_ids)    # [D, Tb] sharded
-    hlo_all = jnp.asarray(plan.halo_lo)          # [D, Tb] sharded
+    send_idx = jnp.asarray(base.send_idx)  # [D, D, H] closure constant
+    params = _global_params(params, mesh)
+    (
+        atoms_g, local_nlist, lo_all, bids_all, hlo_all, edges_g, inv_g,
+    ) = _global_operands(
+        mesh, axis,
+        [
+            (graph.atoms, True),
+            (base.local_nlist, True),   # [D, m, K]
+            (plan.lo, True),            # [D, T]
+            (plan.boundary_ids, True),  # [D, Tb]
+            (plan.halo_lo, True),       # [D, Tb]
+            (graph.edges, True),
+            (graph.inv_degree, True),
+        ],
+    )
 
     @partial(
         jax.shard_map,
@@ -359,8 +420,8 @@ def apply_partitioned_banded(
         )
 
     return fwd(
-        params, graph.atoms, local_nlist, lo_all, bids_all, hlo_all,
-        graph.edges, graph.inv_degree,
+        params, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
+        edges_g, inv_g,
     )
 
 
@@ -387,8 +448,17 @@ def apply_partitioned_halo(
     mp_act = get_activation(config.mp_activation)
     row = P(axis)
 
-    send_idx = jnp.asarray(plan.send_idx)            # [D, D, H]
-    local_nlist = jnp.asarray(plan.local_nlist)      # [D, m, K] sharded
+    send_idx = jnp.asarray(plan.send_idx)  # [D, D, H] closure constant
+    params = _global_params(params, mesh)
+    atoms_g, local_nlist, edges_g, inv_g = _global_operands(
+        mesh, axis,
+        [
+            (graph.atoms, True),
+            (plan.local_nlist, True),  # [D, m, K]
+            (graph.edges, True),
+            (graph.inv_degree, True),
+        ],
+    )
 
     @partial(
         jax.shard_map,
@@ -453,4 +523,4 @@ def apply_partitioned_halo(
             full_peaks * atoms * p["peak_std"] + atoms * p["peak_avg"], axis=-1
         )
 
-    return fwd(params, graph.atoms, local_nlist, graph.edges, graph.inv_degree)
+    return fwd(params, atoms_g, local_nlist, edges_g, inv_g)

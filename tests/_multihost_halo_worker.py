@@ -1,0 +1,83 @@
+"""Worker for test_multihost.py::test_two_process_partitioned_halo.
+
+Two cooperating processes (2 virtual CPU devices each) form a global
+(graph=4,) mesh and run the halo-exchange partitioned forward on the
+real 108M.pdb myoglobin structure — the whole-protein multi-host
+inference case (SURVEY.md §6 north star): each process contributes its
+own atom-row block, the per-MP-layer boundary exchange rides
+cross-process Gloo collectives, and the result must equal the
+single-device forward each process computes locally.
+
+Usage: _multihost_halo_worker.py <pid> <nproc> <coordinator> <outdir>
+"""
+import json
+import os
+import sys
+
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+HERE = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, HERE)
+sys.path.insert(0, os.path.dirname(HERE))
+
+PDB_108M = "/root/reference/tests/108M.pdb"
+
+
+def main():
+    pid, nproc, coord, outdir = (
+        int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
+    )
+    from nmrgnn_tpu.parallel.mesh import initialize_distributed
+
+    initialize_distributed(coord, num_processes=nproc, process_id=pid)
+    assert jax.process_count() == nproc, jax.process_count()
+
+    import numpy as np
+    from jax.sharding import Mesh
+
+    from _multihost_common import CFG
+
+    from nmrgnn_tpu import apply, init_params
+    from nmrgnn_tpu.data.parse import structure2graph
+    from nmrgnn_tpu.data.reorder import permute_graph, rcm_order
+    from nmrgnn_tpu.graph import Graph
+    from nmrgnn_tpu.parallel import pad_to_multiple
+    from nmrgnn_tpu.parallel.halo import apply_partitioned_halo, make_halo_plan
+
+    n_shards = len(jax.devices())  # 4 across both processes
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    g = pad_to_multiple(Graph(*[np.asarray(a) for a in g]), n_shards * 128)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    plan = make_halo_plan(np.asarray(g.nlist), n_shards)
+
+    mesh = Mesh(np.asarray(jax.devices()), ("graph",))
+    peaks = apply_partitioned_halo(params, CFG, g, plan, mesh)
+
+    from jax.experimental import multihost_utils
+
+    peaks_full = np.asarray(multihost_utils.process_allgather(peaks, tiled=True))
+
+    # single-device reference, computed independently in this process
+    want = np.asarray(apply(params, CFG, Graph(*[np.asarray(a) for a in g])))
+    max_err = float(np.abs(peaks_full - want).max())
+    out = {
+        "process_count": jax.process_count(),
+        "halo_size": int(plan.halo_size),
+        "max_err": max_err,
+        "checksum": float(np.abs(peaks_full).sum()),
+        "ok": bool(max_err < 2e-4),
+    }
+    with open(os.path.join(outdir, f"halo_proc{pid}.json"), "w") as f:
+        json.dump(out, f)
+    print(f"proc {pid}: max_err={max_err:.2e} ok={out['ok']}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -88,3 +88,34 @@ def test_two_process_dp_step_matches_single(tmp_path):
     assert set(got) == set(want)
     for k in want:
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
+
+
+def test_two_process_partitioned_halo(tmp_path):
+    """Whole-protein multi-host inference (SURVEY §6 north star): two
+    processes partition the real 108M structure over a cross-process
+    (graph=4,) mesh; the per-layer halo all_to_all rides Gloo, and the
+    assembled peaks equal the single-device forward bitwise-consistently
+    on both hosts."""
+    coord = f"127.0.0.1:{_free_port()}"
+    env = dict(os.environ)
+    env.pop("XLA_FLAGS", None)
+    env["JAX_PLATFORMS"] = "cpu"
+    script = os.path.join(HERE, "_multihost_halo_worker.py")
+    procs = [
+        subprocess.Popen(
+            [sys.executable, script, str(pid), "2", coord, str(tmp_path)],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        )
+        for pid in range(2)
+    ]
+    outs = [p.communicate(timeout=300) for p in procs]
+    for p, (so, se) in zip(procs, outs):
+        assert p.returncode == 0, f"worker failed:\n{so}\n{se[-3000:]}"
+    results = []
+    for pid in range(2):
+        with open(tmp_path / f"halo_proc{pid}.json") as f:
+            results.append(json.load(f))
+    assert results[0]["process_count"] == 2
+    for r in results:
+        assert r["ok"], r
+    assert results[0]["checksum"] == results[1]["checksum"]
