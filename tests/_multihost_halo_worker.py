@@ -47,7 +47,12 @@ def main():
     from nmrgnn_tpu.data.reorder import permute_graph, rcm_order
     from nmrgnn_tpu.graph import Graph
     from nmrgnn_tpu.parallel import pad_to_multiple
-    from nmrgnn_tpu.parallel.halo import apply_partitioned_halo, make_halo_plan
+    from nmrgnn_tpu.parallel.halo import (
+        apply_partitioned_banded,
+        apply_partitioned_halo,
+        make_banded_halo_plan,
+        make_halo_plan,
+    )
 
     n_shards = len(jax.devices())  # 4 across both processes
     g = structure2graph(PDB_108M)
@@ -64,15 +69,29 @@ def main():
 
     peaks_full = np.asarray(multihost_utils.process_allgather(peaks, tiled=True))
 
+    # banded Pallas fast path across the same cross-process mesh
+    # (interpret mode on the virtual CPU devices)
+    plan_b = make_banded_halo_plan(
+        np.asarray(g.nlist), np.asarray(g.edges), n_shards
+    )
+    peaks_b = apply_partitioned_banded(
+        params, CFG, g, plan_b, mesh, interpret=True
+    )
+    peaks_b_full = np.asarray(
+        multihost_utils.process_allgather(peaks_b, tiled=True)
+    )
+
     # single-device reference, computed independently in this process
     want = np.asarray(apply(params, CFG, Graph(*[np.asarray(a) for a in g])))
     max_err = float(np.abs(peaks_full - want).max())
+    max_err_b = float(np.abs(peaks_b_full - want).max())
     out = {
         "process_count": jax.process_count(),
         "halo_size": int(plan.halo_size),
         "max_err": max_err,
+        "max_err_banded": max_err_b,
         "checksum": float(np.abs(peaks_full).sum()),
-        "ok": bool(max_err < 2e-4),
+        "ok": bool(max_err < 2e-4 and max_err_b < 2e-4),
     }
     with open(os.path.join(outdir, f"halo_proc{pid}.json"), "w") as f:
         json.dump(out, f)

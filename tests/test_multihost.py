@@ -95,7 +95,8 @@ def test_two_process_partitioned_halo(tmp_path):
     processes partition the real 108M structure over a cross-process
     (graph=4,) mesh; the per-layer halo all_to_all rides Gloo, and the
     assembled peaks equal the single-device forward bitwise-consistently
-    on both hosts."""
+    on both hosts — through both the gather-math halo forward and the
+    banded Pallas fast path (interpret mode)."""
     coord = f"127.0.0.1:{_free_port()}"
     env = dict(os.environ)
     env.pop("XLA_FLAGS", None)
