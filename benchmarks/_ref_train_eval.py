@@ -46,7 +46,11 @@ def to_inputs(s):
     )
 
 
+_SEED = int(os.environ.get("REF_SEED", "0"))
+
+
 def main():
+    tf.random.set_seed(_SEED)  # before the model is built/initialized
     train_paths = sys.argv[1].split(",")
     epochs = int(sys.argv[2])
     eval_specs = [a.split(":") for a in sys.argv[3:]]
@@ -74,7 +78,7 @@ def main():
         opt.apply_gradients(zip(grads, model.trainable_variables))
         return l
 
-    rng = np.random.default_rng(0)
+    rng = np.random.default_rng(_SEED)
     for epoch in range(epochs):
         order = rng.permutation(len(train))
         losses = []

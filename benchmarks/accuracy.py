@@ -72,6 +72,11 @@ def main():
     ap.add_argument("--reuse-model", action="store_true",
                     help="skip our training if the workdir model exists "
                          "(it must have been trained with the same recipe)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="init/shuffle seed for BOTH stacks (replication "
+                         "runs use a fresh workdir + nonzero seed)")
+    ap.add_argument("--out", default=None,
+                    help="output markdown path (default ACCURACY.md)")
     args = ap.parse_args()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -101,7 +106,8 @@ def main():
              "--validation", "0.1",
              "--batch-size", str(args.ours_batch),
              "--lr-schedule", "cosine", "--warmup-epochs", "5",
-             "--ema-decay", "0.999", "--restore-best"])
+             "--ema-decay", "0.999", "--restore-best",
+             "--seed", str(args.seed)])
 
     # our eval (eval-tfrecords writes model.csv in cwd; keep per-set copies)
     import shutil
@@ -122,7 +128,7 @@ def main():
         cached = os.path.exists(ref_csv_p) and os.path.exists(ref_csv_m)
         if args.retrain_reference or not cached:
             env = dict(os.environ, TF_USE_LEGACY_KERAS="1", JAX_PLATFORMS="cpu",
-                       CUDA_VISIBLE_DEVICES="-1")
+                       CUDA_VISIBLE_DEVICES="-1", REF_SEED=str(args.seed))
             run([sys.executable,
                  os.path.join(REPO, "benchmarks", "_ref_train_eval.py"),
                  f"{protein},{organic}", str(args.ref_epochs),
@@ -173,7 +179,7 @@ def main():
             f"{'' if o is None else f'{o[1]:.4f}'} | "
             f"{'' if r is None else f'{r[1]:.4f}'} |"
         )
-    out_md = os.path.join(REPO, "ACCURACY.md")
+    out_md = args.out or os.path.join(REPO, "ACCURACY.md")
     with open(out_md, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {out_md}")

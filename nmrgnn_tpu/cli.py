@@ -61,10 +61,11 @@ def _jax():
               help="params EMA for eval/export (0 = off; try 0.999)")
 @click.option("--restore-best/--no-restore-best", default=False,
               help="export the best-validation weights instead of the last")
+@click.option("--seed", default=0, help="init/shuffle RNG seed")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
           tensorboard, load, loss_balance, batch_size, pad_to, config_path,
           data_parallel, tensor_parallel, lr_schedule, warmup_epochs,
-          ema_decay, restore_best):
+          ema_decay, restore_best, seed):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -84,7 +85,7 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
         epochs=epochs, validation=validation, loss_balance=loss_balance,
         checkpoint_path=checkpoint_path, batch_size=batch_size, pad_to=pad_to,
         lr_schedule=lr_schedule, warmup_epochs=warmup_epochs,
-        ema_decay=ema_decay, restore_best=restore_best,
+        ema_decay=ema_decay, restore_best=restore_best, seed=seed,
     )
     click.echo(f"Loading from {len(tfrecords)} files")
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
