@@ -63,6 +63,9 @@ class ServingModel:
         use_pallas: Optional[bool] = None,
         mode: str = "auto",
         precision: str = "exact",
+        mesh=None,
+        partition_axis: str = "graph",
+        interpret: Optional[bool] = None,
     ):
         """``precision``:
           * "exact" (default) — f32 with the exact RBF+EdgeFC kernels;
@@ -79,6 +82,16 @@ class ServingModel:
         AMPLayer layers.py:48-100) are served through the banded fast
         path with a one-channel attention band (apply_banded_attention)
         when the plan fits VMEM, else through a jitted gather forward.
+
+        ``mesh``: a jax.sharding.Mesh with a ``partition_axis`` axis of
+        size > 1 enables atom-partitioned multi-chip serving: the graph
+        is padded to shards x 128 rows and predicted through the
+        partitioned banded forward (bilinear; parallel/halo.py
+        apply_partitioned_banded, overlapped halo exchange) or the
+        partitioned gather forward (attention). Works multi-host —
+        every process calls predict() with the full structure.
+        ``interpret`` forces Pallas interpret mode (defaults to True on
+        CPU backends, for tests/virtual meshes).
         """
         if precision not in ("fast", "exact"):
             raise ValueError(f"unknown precision {precision!r}")
@@ -107,6 +120,15 @@ class ServingModel:
         self._plan = None
         self._struct = None
         self._jit_cache = {}
+        self.mesh = mesh
+        self.partition_axis = partition_axis
+        self.interpret = (
+            interpret
+            if interpret is not None
+            else jax.default_backend() == "cpu"
+        )
+        self._part_plan = None
+        self._part_key = None
 
     # -- path selection / plan management -----------------------------------
 
@@ -164,10 +186,18 @@ class ServingModel:
                 return plan
         return None
 
+    def _n_shards(self) -> int:
+        if self.mesh is None:
+            return 1
+        return int(dict(self.mesh.shape).get(self.partition_axis, 1))
+
     def _resolve_mode(self, g: Graph) -> str:
         if self._resolved is not None:
             return self._resolved
-        if self.config.mp_type != "bilinear":
+        if self._n_shards() > 1:
+            # atom-partitioned multi-chip serving over the mesh
+            self._resolved = "partitioned"
+        elif self.config.mp_type != "bilinear":
             # AMPLayer-family params (wq/wk/wv): one-channel attention
             # band when it fits, else the jitted gather forward.
             plan = (
@@ -314,6 +344,47 @@ class ServingModel:
             self._jit_cache[key] = fn
         return fn
 
+    def _predict_partitioned(self, g: Graph):
+        """Atom-partitioned forward over the mesh (multi-chip /
+        multi-host serving). Plans are cached per topology."""
+        import jax.numpy as jnp
+
+        from ..parallel import pad_to_multiple
+        from ..parallel.halo import (
+            apply_partitioned_banded,
+            apply_partitioned_halo,
+            make_banded_halo_plan,
+            make_halo_plan,
+        )
+
+        D = self._n_shards()
+        n = g.atoms.shape[0]
+        gp = pad_to_multiple(Graph(*[jnp.asarray(a) for a in g]), D * 128)
+        key = (gp.atoms.shape[0], hash(np.asarray(g.nlist).tobytes()))
+        banded = self.config.mp_type == "bilinear"
+        if self._part_key != key:
+            self._part_plan = (
+                make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), D)
+                if banded
+                else make_halo_plan(np.asarray(gp.nlist), D)
+            )
+            self._part_key = key
+        if banded:
+            peaks = apply_partitioned_banded(
+                self.params, self.config, gp, self._part_plan, self.mesh,
+                axis=self.partition_axis, interpret=self.interpret,
+            )
+        else:
+            peaks = apply_partitioned_halo(
+                self.params, self.config, gp, self._part_plan, self.mesh,
+                axis=self.partition_axis,
+            )
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            peaks = multihost_utils.process_allgather(peaks, tiled=True)
+        return peaks[:n]
+
     def _predict_async(self, graph: Graph):
         """Dispatch the forward; returns (device_peaks, inverse) without
         forcing a host readback."""
@@ -322,6 +393,8 @@ class ServingModel:
         g = Graph(*[np.asarray(a) for a in graph])
         g = self._prepare(g)
         mode = self._resolve_mode(g)
+        if mode == "partitioned":
+            return self._predict_partitioned(g), self._inverse
         gj = Graph(*[jnp.asarray(a) for a in g])
         if mode == "gather":
             peaks = self._gather_fwd()(self.params, gj)

@@ -273,3 +273,22 @@ def test_vmapped_attention_banded_matches_per_frame():
         )
         np.testing.assert_allclose(np.asarray(batched[i]), want,
                                    rtol=1e-5, atol=1e-5)
+
+
+def test_serving_partitioned_mesh():
+    """ServingModel with a (graph=4,) mesh serves through the
+    atom-partitioned forward — banded Pallas for bilinear models,
+    halo-gather for attention — and matches the plain forward."""
+    from nmrgnn_tpu.parallel import make_mesh
+
+    g = structure2graph(PDB_108M)
+    mesh = make_mesh(data=2, graph=4)
+    for mp_type in ("bilinear", "attention"):
+        cfg = CFG.replace(mp_type=mp_type)
+        params = init_params(jax.random.PRNGKey(4), cfg)
+        want = np.asarray(apply(params, cfg, Graph(*[jnp.asarray(a) for a in g])))
+        sm = ServingModel(params, cfg, mesh=mesh, use_pallas=True)
+        got = sm.predict(g)
+        assert sm._resolved == "partitioned"
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
+                                   err_msg=mp_type)
