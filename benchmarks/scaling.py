@@ -166,7 +166,6 @@ def main():
 
             row(f"attention banded f32 (W={plan.window})", t_of(attn_banded, n))
 
-        if tiles == 1:
             # training step benches (batchless whole-structure step)
             opt_state = tx.init(params)
 

@@ -43,6 +43,7 @@ from ..ops.blocksparse import (
     mp_blocksparse,
     mp_blocksparse_xla,
 )
+from ..ops.message_passing import attention_weights
 from ..ops.rbf import rbf_expand
 from .gnn import _dense
 
@@ -144,19 +145,28 @@ def _edge_features(params, config, edges, mask=None):
     return e * edge_mask  # [N, K, E]
 
 
-def _readout(params, config, atoms, nodes):
+def _readout(params, config, atoms, nodes, *, dropout_rng=None):
     """FC block + per-element head + de-standardization
     (reference: model.py:265-273). Matmuls honor config.compute_dtype
-    (f32 accumulation); activations and the de-standardization stay f32."""
+    (f32 accumulation); activations and the de-standardization stay f32.
+    peak_std/peak_avg are frozen buffers (stop_gradient, like gnn.apply)
+    so training through any fast path leaves them untouched.
+    ``dropout_rng`` enables the reference's readout dropout
+    (model.py:266-267) for training-mode callers."""
     fc_act = get_activation(config.fc_activation)
     compute_dtype = jnp.dtype(config.compute_dtype)
     for p in params["fc"][:-1]:
         nodes = _dense(p, nodes, fc_act, compute_dtype=compute_dtype) + nodes
     nodes = _dense(params["fc"][-1], nodes, fc_act, compute_dtype=compute_dtype)
+    if dropout_rng is not None:
+        keep = 1.0 - config.dropout_rate
+        mask = jax.random.bernoulli(dropout_rng, keep, nodes.shape)
+        nodes = jnp.where(mask, nodes / keep, 0.0)
     full_peaks = _dense(params["out"], nodes, compute_dtype=compute_dtype)
+    peak_std = jax.lax.stop_gradient(params["peak_std"])
+    peak_avg = jax.lax.stop_gradient(params["peak_avg"])
     return jnp.sum(
-        full_peaks * atoms * params["peak_std"] + atoms * params["peak_avg"],
-        axis=-1,
+        full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1
     )
 
 
@@ -303,10 +313,7 @@ def apply_banded_attention(
     lo = jnp.asarray(plan.lo)
 
     for p in params["mp"]:
-        query = nodes[:n] @ p["wq"]                       # [n, E]
-        keys = jnp.einsum("ijk,kl->ijl", e, p["wk"])      # [n, K, E]
-        logits = inv_degree[:, None] * jnp.einsum("ijk,ik->ij", keys, query)
-        a = jax.nn.softmax(logits, axis=-1)               # [n, K]
+        a = attention_weights(p["wq"], p["wk"], nodes[:n], e, inv_degree)
         a_band = jnp.where(real, a, 0.0)
         c = jnp.sum(jnp.where(real, 0.0, a), axis=-1)     # [n] padding mass
         M = band_build(
@@ -322,20 +329,10 @@ def apply_banded_attention(
         nodes = nodes.at[:n].add(upd)
 
     nodes = nodes[:n].astype(jnp.float32)
+    drng = None
     if training and config.dropout:
-        fc_act = get_activation(config.fc_activation)
-        for p in params["fc"][:-1]:
-            nodes = _dense(p, nodes, fc_act) + nodes
-        nodes = _dense(params["fc"][-1], nodes, fc_act)
         rng, drng = jax.random.split(rng)
-        keep = 1.0 - config.dropout_rate
-        mask = jax.random.bernoulli(drng, keep, nodes.shape)
-        nodes = jnp.where(mask, nodes / keep, 0.0)
-        full_peaks = _dense(params["out"], nodes)
-        peak_std = jax.lax.stop_gradient(params["peak_std"])
-        peak_avg = jax.lax.stop_gradient(params["peak_avg"])
-        return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)
-    return _readout(params, config, atoms, nodes)
+    return _readout(params, config, atoms, nodes, dropout_rng=drng)
 
 
 def apply_banded_trainable(

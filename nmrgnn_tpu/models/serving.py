@@ -229,6 +229,10 @@ class ServingModel:
         return self._resolved
 
     def _banded_plan(self, g: Graph):
+        """Verified (or rebuilt) band plan for the resolved banded mode.
+        Returns None when a later frame's band escapes the budget that
+        originally gated the path — the caller re-resolves that frame
+        instead of dispatching an unfittable plan (VMEM OOM on TPU)."""
         if self._plan is None or not plan_covers(self._plan, g.nlist, g.edges):
             if self._resolved == "banded_hbm":
                 plan = self._plan_if_hbm(g)
@@ -236,7 +240,8 @@ class ServingModel:
                 plan = self._plan_if_attn(g)
             else:
                 plan = self._plan_if_fits(g)
-            if plan is None:  # forced mode="banded" on an oversized graph
+            if plan is None and self.mode == "banded":
+                # the user explicitly forced banded: honor it
                 plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
             self._plan = plan
         return self._plan
@@ -344,9 +349,28 @@ class ServingModel:
             self._jit_cache[key] = fn
         return fn
 
+    def _partitioned_fits_vmem(self, plan) -> bool:
+        """Per-shard working set of the partitioned banded kernels: the
+        shard's node table is VMEM-resident (ops/banded.py
+        mp_banded_partial), plus double-buffered interior + halo band
+        tiles and the MP weights."""
+        cfg = self.config
+        b = np.dtype(cfg.compute_dtype).itemsize
+        E, F = cfg.edge_feature_size, cfg.atom_feature_size
+        m = plan.halo.rows_per_shard
+        table = (m + plan.halo_lanes) * F * b
+        tiles = 2 * E * plan.block_rows * (plan.window + plan.halo_window) * b
+        w = E * F * F * b
+        return table + tiles + w < 12 * 1024 * 1024
+
     def _predict_partitioned(self, g: Graph):
         """Atom-partitioned forward over the mesh (multi-chip /
-        multi-host serving). Plans are cached per topology."""
+        multi-host serving). Plans are cached per topology (neighbor
+        lists AND the real-edge mask, which shapes the band windows);
+        the compiled forward is cached per plan in single-process runs
+        (multi-process stays eager: operands must be re-globalized per
+        host each call). Banded Pallas for bilinear models whose
+        per-shard working set fits VMEM, halo-gather math otherwise."""
         import jax.numpy as jnp
 
         from ..parallel import pad_to_multiple
@@ -360,24 +384,58 @@ class ServingModel:
         D = self._n_shards()
         n = g.atoms.shape[0]
         gp = pad_to_multiple(Graph(*[jnp.asarray(a) for a in g]), D * 128)
-        key = (gp.atoms.shape[0], hash(np.asarray(g.nlist).tobytes()))
-        banded = self.config.mp_type == "bilinear"
+        key = (
+            gp.atoms.shape[0],
+            hash(np.asarray(g.nlist).tobytes()),
+            hash((np.asarray(g.edges) > 0).tobytes()),
+        )
         if self._part_key != key:
-            self._part_plan = (
-                make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), D)
-                if banded
-                else make_halo_plan(np.asarray(gp.nlist), D)
-            )
+            banded = self.config.mp_type == "bilinear"
+            plan = None
+            if banded:
+                plan = make_banded_halo_plan(
+                    np.asarray(gp.nlist), np.asarray(gp.edges), D
+                )
+                if not self._partitioned_fits_vmem(plan):
+                    banded, plan = False, None
+            if plan is None:
+                plan = make_halo_plan(np.asarray(gp.nlist), D)
+            # generation counter: a rebuilt plan is baked into a fresh
+            # jitted closure (same shapes would otherwise hit a stale one)
+            gen = (self._part_plan[2] + 1) if self._part_plan else 0
+            self._part_plan = (plan, banded, gen)
             self._part_key = key
-        if banded:
+        plan, banded, gen = self._part_plan
+
+        config, mesh, axis = self.config, self.mesh, self.partition_axis
+        interpret = self.interpret
+        if jax.process_count() == 1:
+            jkey = ("partitioned", banded, gen)
+            fn = self._jit_cache.get(jkey)
+            if fn is None:
+                if banded:
+                    @jax.jit
+                    def fn(params, gp):
+                        return apply_partitioned_banded(
+                            params, config, gp, plan, mesh,
+                            axis=axis, interpret=interpret,
+                        )
+                else:
+                    @jax.jit
+                    def fn(params, gp):
+                        return apply_partitioned_halo(
+                            params, config, gp, plan, mesh, axis=axis
+                        )
+                self._jit_cache[jkey] = fn
+            peaks = fn(self.params, gp)
+        elif banded:
             peaks = apply_partitioned_banded(
-                self.params, self.config, gp, self._part_plan, self.mesh,
-                axis=self.partition_axis, interpret=self.interpret,
+                self.params, config, gp, plan, mesh,
+                axis=axis, interpret=interpret,
             )
         else:
             peaks = apply_partitioned_halo(
-                self.params, self.config, gp, self._part_plan, self.mesh,
-                axis=self.partition_axis,
+                self.params, config, gp, plan, mesh, axis=axis
             )
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils
@@ -398,16 +456,21 @@ class ServingModel:
         gj = Graph(*[jnp.asarray(a) for a in g])
         if mode == "gather":
             peaks = self._gather_fwd()(self.params, gj)
-        elif mode == "banded_attn":
+        elif mode in ("banded", "banded_hbm", "banded_attn"):
             plan = self._banded_plan(g)
-            peaks = self._banded_attn_fwd(plan)(
-                self.params, gj, jnp.asarray(plan.lo)
-            )
-        elif mode in ("banded", "banded_hbm"):
-            plan = self._banded_plan(g)
-            peaks = self._banded_fwd(plan, hbm=mode == "banded_hbm")(
-                self.params, gj, jnp.asarray(plan.lo)
-            )
+            if plan is None:
+                # this frame's band escaped the original budget:
+                # re-resolve from scratch (hbm/blocksparse/gather)
+                self._resolved = None
+                return self._predict_async(graph)
+            if mode == "banded_attn":
+                peaks = self._banded_attn_fwd(plan)(
+                    self.params, gj, jnp.asarray(plan.lo)
+                )
+            else:
+                peaks = self._banded_fwd(plan, hbm=mode == "banded_hbm")(
+                    self.params, gj, jnp.asarray(plan.lo)
+                )
         else:
             s = self._block_struct(g)
             peaks = self._blocksparse_fwd(s)(

@@ -71,6 +71,24 @@ def mp_layer(
     )
 
 
+def attention_weights(
+    wq: jnp.ndarray,          # f32[F, E]
+    wk: jnp.ndarray,          # f32[E, E]
+    nodes: jnp.ndarray,       # f32[N, F]
+    edges: jnp.ndarray,       # f32[N, K, E] (EdgeFC output)
+    inv_degree: jnp.ndarray,  # f32[N]
+) -> jnp.ndarray:
+    """Per-slot softmax attention weights a f32[N, K] (reference
+    layers.py:88-94) — shared by the gather, banded and partitioned
+    AMP forwards so the logit scaling / softmax quirk lives in ONE place.
+    The softmax runs over ALL K slots, padding included (reference
+    quirk: padding slots receive weight and contribute nodes[0])."""
+    query = nodes @ wq                                 # [N, E]
+    keys = jnp.einsum("ijk,kl->ijl", edges, wk)        # [N, K, E]
+    logits = inv_degree[:, None] * jnp.einsum("ijk,ik->ij", keys, query)
+    return jax.nn.softmax(logits, axis=-1)             # [N, K]
+
+
 def amp_layer(
     wq: jnp.ndarray,          # f32[F, E]
     wk: jnp.ndarray,          # f32[E, E]
@@ -91,10 +109,7 @@ def amp_layer(
       out = act( softmax(logits) @ values )
     """
     gathered = jnp.take(nodes, nlist, axis=0)          # [N, K, F]
-    query = nodes @ wq                                 # [N, E]
-    keys = edges @ wk                                  # [N, K, E]
     values = jnp.einsum("ijl,lm->ijm", gathered, wv)   # [N, K, F]
-    logits = inv_degree[:, None] * jnp.einsum("ijk,ik->ij", keys, query)
-    attn = jax.nn.softmax(logits, axis=-1)             # [N, K]
+    attn = attention_weights(wq, wk, nodes, edges, inv_degree)
     out = jnp.einsum("ij,ijm->im", attn, values)       # [N, F]
     return activation(out)

@@ -27,6 +27,7 @@ from ..config import ModelConfig
 from ..graph import Graph
 from ..models.gnn import _dense
 from ..ops.activations import get_activation
+from ..ops.message_passing import attention_weights
 from ..ops.rbf import rbf_expand
 
 
@@ -66,6 +67,11 @@ def _global_operands(mesh: Mesh, axis: str, items):
     pid, npc = jax.process_index(), jax.process_count()
     out = []
     for a, row_sharded in items:
+        if isinstance(a, jax.Array) and not isinstance(a, np.ndarray):
+            # already a device/global array or a tracer (differentiable
+            # multi-host callers globalize BEFORE jax.grad): pass through
+            out.append(a)
+            continue
         a = np.asarray(a)
         if row_sharded:
             if a.shape[0] % npc:
@@ -90,12 +96,16 @@ def _global_params(params, mesh: Mesh):
         return params
     from jax.experimental import multihost_utils
 
-    return jax.tree_util.tree_map(
-        lambda x: multihost_utils.host_local_array_to_global_array(
+    def leaf(x):
+        if isinstance(x, jax.Array) and not isinstance(x, np.ndarray):
+            # device/global array or tracer (multi-host training: the
+            # caller globalizes params once, outside jax.grad)
+            return x
+        return multihost_utils.host_local_array_to_global_array(
             np.asarray(x), mesh, P()
-        ),
-        params,
-    )
+        )
+
+    return jax.tree_util.tree_map(leaf, params)
 
 
 def make_halo_plan(nlist: np.ndarray, n_shards: int, halo_multiple: int = 8) -> HaloPlan:
@@ -415,8 +425,13 @@ def apply_partitioned_banded(
             nodes = _dense(lp, nodes, fc_act) + nodes
         nodes = _dense(p["fc"][-1], nodes, fc_act)
         full_peaks = _dense(p["out"], nodes)
+        # frozen de-standardization buffers (gnn.apply parity): training
+        # through the differentiable partitioned forward must not leak
+        # gradients into peak_std/peak_avg
+        peak_std = jax.lax.stop_gradient(p["peak_std"])
+        peak_avg = jax.lax.stop_gradient(p["peak_avg"])
         return jnp.sum(
-            full_peaks * atoms * p["peak_std"] + atoms * p["peak_avg"], axis=-1
+            full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1
         )
 
     return fwd(
@@ -494,12 +509,9 @@ def apply_partitioned_halo(
             workspace = jnp.concatenate([nodes, recv.reshape(D * H, -1)], axis=0)
             gathered = jnp.take(workspace, lnl, axis=0)  # [m, K, F]
             if config.mp_type == "attention":
-                query = nodes @ lp["wq"]                       # [m, E]
-                keys = jnp.einsum("ijk,kl->ijl", e, lp["wk"])  # [m, K, E]
-                logits = inv_degree[:, None] * jnp.einsum(
-                    "ijk,ik->ij", keys, query
-                )
-                a = jax.nn.softmax(logits, axis=-1)            # [m, K]
+                a = attention_weights(
+                    lp["wq"], lp["wk"], nodes, e, inv_degree
+                )  # [m, K]
                 upd = jnp.einsum("ij,ijl->il", a, gathered) @ lp["wv"]
             else:
                 h = jnp.einsum(
@@ -519,8 +531,10 @@ def apply_partitioned_halo(
             nodes = _dense(lp, nodes, fc_act) + nodes
         nodes = _dense(p["fc"][-1], nodes, fc_act)
         full_peaks = _dense(p["out"], nodes)
+        peak_std = jax.lax.stop_gradient(p["peak_std"])
+        peak_avg = jax.lax.stop_gradient(p["peak_avg"])
         return jnp.sum(
-            full_peaks * atoms * p["peak_std"] + atoms * p["peak_avg"], axis=-1
+            full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1
         )
 
     return fwd(params, atoms_g, local_nlist, edges_g, inv_g)

@@ -178,8 +178,6 @@ class TestPartitionedTraining:
         checked = 0
         for k, v in flat_part:
             key = jax.tree_util.keystr(k)
-            if "peak_std" in key or "peak_avg" in key:
-                continue  # frozen buffers (apply stop_gradients them)
             np.testing.assert_allclose(
                 np.asarray(v), np.asarray(flat_sing[key]),
                 rtol=2e-3, atol=2e-5, err_msg=key,
