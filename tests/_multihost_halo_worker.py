@@ -8,7 +8,7 @@ own atom-row block, the per-MP-layer boundary exchange rides
 cross-process Gloo collectives, and the result must equal the
 single-device forward each process computes locally.
 
-Usage: _multihost_halo_worker.py <pid> <nproc> <coordinator> <outdir>
+Usage: _multihost_halo_worker.py <pid> <nproc> <coordinator> <outdir> [pdb]
 """
 import json
 import os
@@ -32,6 +32,7 @@ def main():
     pid, nproc, coord, outdir = (
         int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4],
     )
+    pdb = sys.argv[5] if len(sys.argv) > 5 else PDB_108M
     from nmrgnn_tpu.parallel.mesh import initialize_distributed
 
     initialize_distributed(coord, num_processes=nproc, process_id=pid)
@@ -55,7 +56,7 @@ def main():
     )
 
     n_shards = len(jax.devices())  # 4 across both processes
-    g = structure2graph(PDB_108M)
+    g = structure2graph(pdb)
     order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
     g, _ = permute_graph(g, order, pin_zero=False)
     g = pad_to_multiple(Graph(*[np.asarray(a) for a in g]), n_shards * 128)

@@ -90,7 +90,11 @@ def test_two_process_dp_step_matches_single(tmp_path):
         np.testing.assert_allclose(got[k], want[k], rtol=1e-5, err_msg=k)
 
 
-def test_two_process_partitioned_halo(tmp_path):
+@pytest.mark.parametrize("pdb", [
+    "/root/reference/tests/108M.pdb",
+    "/root/reference/tests/7lgi.pdb.gz",  # BASELINE.json multi-host config
+])
+def test_two_process_partitioned_halo(tmp_path, pdb):
     """Whole-protein multi-host inference (SURVEY §6 north star): two
     processes partition the real 108M structure over a cross-process
     (graph=4,) mesh; the per-layer halo all_to_all rides Gloo, and the
@@ -104,7 +108,7 @@ def test_two_process_partitioned_halo(tmp_path):
     script = os.path.join(HERE, "_multihost_halo_worker.py")
     procs = [
         subprocess.Popen(
-            [sys.executable, script, str(pid), "2", coord, str(tmp_path)],
+            [sys.executable, script, str(pid), "2", coord, str(tmp_path), pdb],
             env=env, stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
         )
         for pid in range(2)
