@@ -290,3 +290,41 @@ def test_serving_partitioned_mesh():
         assert sm._resolved == "partitioned"
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4,
                                    err_msg=mp_type)
+
+
+def test_partitioned_vmem_gate_falls_back_to_gather_math(monkeypatch):
+    """When the per-shard banded working set exceeds VMEM, mesh serving
+    falls back to the halo-gather partitioned forward (no size bound)
+    instead of dispatching an unfittable Pallas kernel."""
+    from nmrgnn_tpu.parallel import make_mesh
+
+    g = structure2graph(PDB_108M)
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    want = np.asarray(apply(params, CFG, Graph(*[jnp.asarray(a) for a in g])))
+    mesh = make_mesh(data=2, graph=4)
+    sm = ServingModel(params, CFG, mesh=mesh, use_pallas=True)
+    monkeypatch.setattr(
+        ServingModel, "_partitioned_fits_vmem", lambda self, plan: False
+    )
+    got = sm.predict(g)
+    assert sm._part_plan[1] is False  # gather-math halo path selected
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_banded_escape_reresolves_mid_trajectory(monkeypatch):
+    """A frame whose band escapes the VMEM budget re-resolves the serving
+    path for that frame instead of dispatching an unfittable plan."""
+    g = structure2graph(PDB_108M)
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    want = np.asarray(apply(params, CFG, Graph(*[jnp.asarray(a) for a in g])))
+    sm = ServingModel(params, CFG, use_pallas=True)
+    assert sm._resolve_mode(sm._prepare(Graph(*[np.asarray(a) for a in g]))) \
+        in ("banded", "banded_hbm")
+    # simulate the escape: cached plan invalid AND no fitting rebuild
+    sm._plan = None
+    monkeypatch.setattr(ServingModel, "_plan_if_fits", lambda self, g: None)
+    monkeypatch.setattr(ServingModel, "_plan_if_hbm", lambda self, g: None)
+    sm.use_pallas = False  # re-resolution lands on the CPU block path
+    got = sm.predict(g)
+    assert sm._resolved == "blocksparse"
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
