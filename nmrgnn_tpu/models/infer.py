@@ -260,6 +260,7 @@ def apply_banded_attention(
     differentiable: bool = False,
     training: bool = False,
     rng=None,
+    cheb=None,
 ) -> jnp.ndarray:
     """Attention-family (AMPLayer) forward on the RCM-banded fast path.
 
@@ -289,7 +290,9 @@ def apply_banded_attention(
     ``differentiable=True`` swaps in the custom-VJP kernel wrappers so
     jax.grad flows to every trainable leaf; ``training=True`` (requires
     ``rng``) additionally applies the reference's Gaussian distance noise
-    and readout dropout (reference model.py:253,266-267).
+    and readout dropout (reference model.py:253,266-267). ``cheb``
+    (ops.edgefn.EdgeCheb) switches the edge stage to its Chebyshev
+    compression — transcendental-free, the serving "fast" precision.
     """
     atoms, nlist, edges, inv_degree = graph
     n = atoms.shape[0]
@@ -307,7 +310,12 @@ def apply_banded_attention(
             raise ValueError("training=True requires rng")
         rng, nrng = jax.random.split(rng)
         edges = edges + config.noise * jax.random.normal(nrng, edges.shape, edges.dtype)
-    e = _edge_features(params, config, edges, mask=edge_mask)  # [n, K, E] f32
+    if cheb is not None:
+        from ..ops.edgefn import eval_edge_chebyshev_device
+
+        e = eval_edge_chebyshev_device(cheb, edges) * edge_mask  # [n, K, E]
+    else:
+        e = _edge_features(params, config, edges, mask=edge_mask)
     pad = plan.n_padded - n
     nodes = jnp.pad(_dense(params["embed"], atoms), ((0, pad), (0, 0)))
     lo = jnp.asarray(plan.lo)

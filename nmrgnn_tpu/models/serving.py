@@ -300,11 +300,12 @@ class ServingModel:
         fn = self._jit_cache.get(key)
         if fn is None:
             config = self.config
+            cheb = self._edge_cheb() if self.precision == "fast" else None
 
             @jax.jit
             def fn(params, graph, lo):
                 return apply_banded_attention(
-                    params, config, graph, plan._replace(lo=lo)
+                    params, config, graph, plan._replace(lo=lo), cheb=cheb
                 )
 
             self._jit_cache[key] = fn
@@ -560,12 +561,13 @@ class ServingModel:
         fn = self._jit_cache.get(key)
         if fn is None:
             config = self.config
+            cheb = self._edge_cheb() if self.precision == "fast" else None
 
             @jax.jit
             def fn(params, gstack, lo):
                 return jax.vmap(
                     lambda g: apply_banded_attention(
-                        params, config, g, plan._replace(lo=lo)
+                        params, config, g, plan._replace(lo=lo), cheb=cheb
                     )
                 )(gstack)
 

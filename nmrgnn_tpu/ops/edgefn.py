@@ -99,6 +99,27 @@ def fit_edge_chebyshev(
     )
 
 
+def eval_edge_chebyshev_device(cheb: EdgeCheb, d):
+    """Device (jnp) evaluation via the Clenshaw recurrence — FMA-only,
+    transcendental-free. Used by the attention serving fast path, whose
+    [N, K]-sized edge stage runs in XLA rather than inside the band
+    kernel. Returns e[..., E]; the caller applies the padding mask."""
+    import jax.numpy as jnp
+
+    x = jnp.clip(
+        2.0 * (jnp.clip(d, cheb.d_lo, cheb.d_hi) - cheb.d_lo)
+        / (cheb.d_hi - cheb.d_lo) - 1.0,
+        -1.0, 1.0,
+    )
+    c = jnp.asarray(cheb.coeffs)  # [degree + 1, E]
+    b1 = jnp.zeros(x.shape + (c.shape[1],), x.dtype)
+    b2 = jnp.zeros_like(b1)
+    x2 = (2.0 * x)[..., None]
+    for k in range(c.shape[0] - 1, 0, -1):
+        b1, b2 = c[k] + x2 * b1 - b2, b1
+    return c[0] + x[..., None] * b1 - b2
+
+
 def eval_edge_chebyshev(cheb: EdgeCheb, d: np.ndarray) -> np.ndarray:
     """Reference evaluation (numpy) incl. the clamp; for tests."""
     x = np.clip(

@@ -328,3 +328,42 @@ def test_banded_escape_reresolves_mid_trajectory(monkeypatch):
     got = sm.predict(g)
     assert sm._resolved == "blocksparse"
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+
+
+def test_attention_banded_cheb_edge_stage():
+    """The attention fast path with the Chebyshev edge stage (serving
+    'fast' precision) matches the exact-edge attention forward within
+    the compression tolerance, and the device Clenshaw evaluator agrees
+    with the numpy reference."""
+    from nmrgnn_tpu.models.infer import apply_banded_attention, precompute_band
+    from nmrgnn_tpu.ops.edgefn import (
+        eval_edge_chebyshev,
+        eval_edge_chebyshev_device,
+        fit_edge_chebyshev,
+    )
+
+    cfg = CFG.replace(mp_type="attention")
+    params = init_params(jax.random.PRNGKey(3), cfg)
+    cheb = fit_edge_chebyshev(
+        params["edge_fc"], rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+        rbf_count=cfg.edge_hidden_size, activation=cfg.fc_activation,
+        degree=64,
+    )
+    d = np.linspace(0.006, 0.25, 500).astype(np.float32)
+    np.testing.assert_allclose(
+        np.asarray(eval_edge_chebyshev_device(cheb, jnp.asarray(d))),
+        eval_edge_chebyshev(cheb, d), rtol=1e-4, atol=1e-5,
+    )
+
+    g = structure2graph(PDB_108M)
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    gj = Graph(*[jnp.asarray(a) for a in g])
+    plan = precompute_band(g)
+    exact = np.asarray(
+        apply_banded_attention(params, cfg, gj, plan, interpret=True)
+    )
+    fast = np.asarray(
+        apply_banded_attention(params, cfg, gj, plan, interpret=True, cheb=cheb)
+    )
+    np.testing.assert_allclose(fast, exact, rtol=1e-3, atol=1e-3)
