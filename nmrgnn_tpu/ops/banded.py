@@ -634,6 +634,11 @@ def mp_banded_partial_xla(
     return out.reshape(T * B, F)
 
 
+def _float0_like(x):
+    """Zero cotangent for integer-dtype primals (custom_vjp contract)."""
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
 def mp_banded_partial_df(
     M: jnp.ndarray,
     lo: jnp.ndarray,
@@ -643,25 +648,29 @@ def mp_banded_partial_df(
 ) -> jnp.ndarray:
     """Differentiable mp_banded_partial: Pallas forward, XLA-oracle VJP
     (window slices transpose to dynamic-update scatter-adds — no [N,K,F]
-    gather anywhere in the backward)."""
+    gather anywhere in the backward). ``lo`` rides as an explicit
+    custom_vjp operand (float0 cotangent) rather than a closure — it is
+    a traced per-shard array inside shard_map, and custom_vjp closures
+    over tracers leak under jit."""
 
     @jax.custom_vjp
-    def f(M, table, w):
+    def f(M, lo, table, w):
         return mp_banded_partial(M, lo, table, w, interpret=interpret)
 
-    def fwd(M, table, w):
-        return f(M, table, w), (M, table, w)
+    def fwd(M, lo, table, w):
+        return f(M, lo, table, w), (M, lo, table, w)
 
     def bwd(res, g):
-        M, table, w = res
+        M, lo, table, w = res
         _, vjp = jax.vjp(
             lambda M, table, w: mp_banded_partial_xla(M, lo, table, w),
             M, table, w,
         )
-        return vjp(g)
+        dM, dtable, dw = vjp(g)
+        return dM, _float0_like(lo), dtable, dw
 
     f.defvjp(fwd, bwd)
-    return f(M, table, w)
+    return f(M, lo.astype(jnp.int32), table, w)
 
 
 def build_band_tracedlo_df(
@@ -675,21 +684,24 @@ def build_band_tracedlo_df(
 ) -> jnp.ndarray:
     """Differentiable build_band_tracedlo (grads flow to ``edge_feats``);
     backward is the same window take_along_axis as build_band_df, with
-    traced window starts."""
+    traced window starts. ``nlist``/``lo`` are explicit custom_vjp
+    operands (float0 cotangents) — inside shard_map they are tracers,
+    and custom_vjp closures over tracers leak under jit."""
     m, k = nlist.shape
     t = m // block_rows
 
     @jax.custom_vjp
-    def f(e):
+    def f(nlist, e, lo):
         return build_band_tracedlo(
             nlist, e, lo, window, block_rows,
             out_dtype=out_dtype, interpret=interpret,
         )
 
-    def fwd(e):
-        return f(e), ()
+    def fwd(nlist, e, lo):
+        return f(nlist, e, lo), (nlist, lo)
 
-    def bwd(_, gM):
+    def bwd(res, gM):
+        nlist, lo = res
         e_ch = gM.shape[1]
         rows = jnp.arange(m) // block_rows
         rel = nlist - lo[rows][:, None]                     # [M, K]
@@ -698,10 +710,11 @@ def build_band_tracedlo_df(
         gmr = jnp.moveaxis(gM.astype(jnp.float32), 1, -1)
         gmr = gmr.reshape(t * block_rows, window, e_ch)
         de = jax.vmap(lambda row, idx: row[idx])(gmr, relc)  # [M, K, E]
-        return (jnp.where(valid[..., None], de, 0.0),)
+        return (_float0_like(nlist), jnp.where(valid[..., None], de, 0.0),
+                _float0_like(lo))
 
     f.defvjp(fwd, bwd)
-    return f(edge_feats)
+    return f(nlist.astype(jnp.int32), edge_feats, lo.astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------

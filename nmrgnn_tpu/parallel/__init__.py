@@ -3,6 +3,7 @@ from .halo import (
     apply_partitioned_halo,
     make_banded_halo_plan,
     make_halo_plan,
+    make_partitioned_train_step,
 )
 from .mesh import best_factorization, initialize_distributed, make_mesh
 from .partition import apply_partitioned, jit_partitioned_forward, pad_to_multiple
@@ -19,6 +20,7 @@ __all__ = [
     "apply_partitioned_halo",
     "make_banded_halo_plan",
     "make_halo_plan",
+    "make_partitioned_train_step",
     "best_factorization",
     "initialize_distributed",
     "make_mesh",

@@ -440,6 +440,49 @@ def apply_partitioned_banded(
     )
 
 
+def make_partitioned_train_step(
+    config: ModelConfig,
+    tx,
+    loss_idx,
+    plan: BandedHaloPlan,
+    mesh: Mesh,
+    axis: str = "graph",
+    loss_balance: float = 1.0,
+    interpret: bool = False,
+):
+    """Whole-structure (context-parallel) training step: NameLoss +
+    jax.grad through the differentiable partitioned banded forward
+    (shard_map, all_to_all halo exchange, custom-VJP Pallas kernels) and
+    an optax update on replicated params.
+
+    The reference can only train on 256-atom fragments (nmrdata
+    fragmenting, SURVEY.md App. B); this trains on the intact protein
+    across the ``axis`` shards of the mesh. ``y`` is the [N, 3] label
+    block (shift, name-index, labeled-flag), ``w`` the [N] sample
+    weights, both padded like the graph.
+    """
+    import optax
+
+    from ..train.losses import name_loss
+    from ..train.trainer import fold_sample_weight
+
+    def loss_fn(params, graph, y, w):
+        peaks = apply_partitioned_banded(
+            params, config, graph, plan, mesh, axis=axis,
+            interpret=interpret, differentiable=True,
+        )
+        yt = fold_sample_weight(y, w)
+        return name_loss(yt, peaks, loss_idx, s=loss_balance)
+
+    @jax.jit
+    def step(params, opt_state, graph, y, w):
+        loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    return step
+
+
 def apply_partitioned_halo(
     params,
     config: ModelConfig,

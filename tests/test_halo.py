@@ -200,3 +200,60 @@ class TestAttentionPartitioned:
         want = np.asarray(apply(params, cfg, gp))
         got = np.asarray(apply_partitioned_halo(params, cfg, gp, plan, mesh))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_partitioned_train_step_matches_single_device(graph_rcm):
+    """The named context-parallel training-step API: one optimizer step
+    on the intact protein across 4 shards equals the single-device step
+    (same loss, same updated params)."""
+    import optax
+
+    from nmrgnn_tpu.data.embeddings import load_embeddings
+    from nmrgnn_tpu.parallel import make_partitioned_train_step
+    from nmrgnn_tpu.train.losses import name_loss
+    from nmrgnn_tpu.train.trainer import fold_sample_weight
+    from nmrgnn_tpu.train.metrics import type_mask
+
+    g, _ = graph_rcm
+    gp = pad_to_multiple(to_jnp(g), 4 * 128)
+    n = gp.atoms.shape[0]
+    rng = np.random.default_rng(0)
+    y = np.stack(
+        [rng.normal(size=n).astype(np.float32) * 3,
+         rng.integers(0, 6, n).astype(np.float32),
+         np.ones(n, np.float32)],
+        axis=-1,
+    )
+    w = (np.asarray(gp.atoms).sum(-1) > 0).astype(np.float32)
+    y, w = jnp.asarray(y), jnp.asarray(w)
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    loss_idx = tuple(type_mask(r".*", load_embeddings(), regex=True))
+    tx = optax.adam(1e-3)
+    plan = make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), 4)
+    mesh = make_mesh(data=2, graph=4)
+    step = make_partitioned_train_step(
+        CFG, tx, loss_idx, plan, mesh, interpret=True
+    )
+    new_params, _, loss = step(params, tx.init(params), gp, y, w)
+
+    def single_loss(p):
+        yt = fold_sample_weight(y, w)
+        return name_loss(yt, apply(p, CFG, gp), loss_idx, s=1.0)
+
+    sloss, sgrads = jax.value_and_grad(single_loss)(params)
+    supd, _ = tx.update(sgrads, tx.init(params), params)
+    import optax as _optax
+
+    want_params = _optax.apply_updates(params, supd)
+    np.testing.assert_allclose(float(loss), float(sloss), rtol=1e-5)
+    flat_want = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(want_params)
+    )
+    for k, v in jax.tree_util.tree_leaves_with_path(new_params):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_want[key]),
+            rtol=2e-3, atol=2e-5, err_msg=key,
+        )
