@@ -391,15 +391,13 @@ class ServingModel:
             hash((np.asarray(g.edges) > 0).tobytes()),
         )
         if self._part_key != key:
-            banded = self.config.mp_type == "bilinear"
-            plan = None
-            if banded:
-                plan = make_banded_halo_plan(
-                    np.asarray(gp.nlist), np.asarray(gp.edges), D
-                )
-                if not self._partitioned_fits_vmem(plan):
-                    banded, plan = False, None
-            if plan is None:
+            # banded Pallas serves BOTH MP families (bilinear: shared
+            # bands; attention: per-layer one-channel bands)
+            plan = make_banded_halo_plan(
+                np.asarray(gp.nlist), np.asarray(gp.edges), D
+            )
+            banded = self._partitioned_fits_vmem(plan)
+            if not banded:
                 plan = make_halo_plan(np.asarray(gp.nlist), D)
             # generation counter: a rebuilt plan is baked into a fresh
             # jitted closure (same shapes would otherwise hit a stale one)

@@ -296,7 +296,11 @@ def apply_partitioned_banded(
     differentiable: bool = False,
 ) -> jnp.ndarray:
     """Multi-chip forward with per-shard Pallas banded MP and overlapped
-    halo exchange. Equals the single-device forward in f32.
+    halo exchange. Equals the single-device forward in f32. Serves both
+    MP families: bilinear (layer-invariant bands, built once) and
+    attention (per-layer one-channel bands from the softmax weights,
+    with the padding-mass rank-1 correction riding the halo's row-0
+    slot).
 
     ``differentiable=True`` swaps the Pallas calls for their custom-VJP
     wrappers (ops/banded build_band_tracedlo_df / mp_banded_partial_df)
@@ -379,29 +383,32 @@ def apply_partitioned_banded(
             e = _dense(lp, e, None if last else fc_act)
         e = e * edge_mask     # [m, K, E]
 
-        # layer-invariant band structures, built once per forward:
-        # interior refs (< m) land in the windowed band; halo refs
-        # (>= m) fall outside every interior window and are excluded.
-        M_int = build_band_tracedlo(
-            lnl, e, lo, W, B, out_dtype=compute_dtype, interpret=interpret
-        )
-        # halo band over the BOUNDARY tiles only: rows compacted by
-        # boundary_ids, lanes = received-row slots (refs - m; interior
-        # refs go negative and never match). Padding tiles have no
-        # halo refs, so their band is zero and the scatter adds nothing.
+        # boundary-tile row ids (halo band rows, compacted by boundary_ids)
         rows = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
-        M_halo = build_band_tracedlo(
-            jnp.take(lnl, rows, axis=0) - m,
-            jnp.take(e, rows, axis=0),
-            hlo, Wh, B, out_dtype=compute_dtype, interpret=interpret,
-        )
+        attention = config.mp_type == "attention"
+        if not attention:
+            # layer-invariant band structures, built once per forward:
+            # interior refs (< m) land in the windowed band; halo refs
+            # (>= m) fall outside every interior window and are excluded.
+            M_int = build_band_tracedlo(
+                lnl, e, lo, W, B, out_dtype=compute_dtype, interpret=interpret
+            )
+            # halo band over the BOUNDARY tiles only: lanes are
+            # received-row slots (refs - m; interior refs go negative and
+            # never match). Padding tiles have no halo refs, so their
+            # band is zero and the scatter adds nothing.
+            M_halo = build_band_tracedlo(
+                jnp.take(lnl, rows, axis=0) - m,
+                jnp.take(e, rows, axis=0),
+                hlo, Wh, B, out_dtype=compute_dtype, interpret=interpret,
+            )
 
         nodes = _dense(p["embed"], atoms)  # [m, F]
         my_send = jax.lax.dynamic_index_in_dim(send_idx, me, 0, keepdims=False)
 
         inv_col = inv_degree[:, None]
+        real = edges > 0
         for lp in p["mp"]:
-            w = lp["w"].astype(compute_dtype)
             # 1) issue the exchange first ...
             send_buf = jnp.take(nodes, my_send.reshape(-1), axis=0).reshape(
                 D, H, -1
@@ -409,17 +416,57 @@ def apply_partitioned_banded(
             recv = jax.lax.all_to_all(
                 send_buf, axis, split_axis=0, concat_axis=0, tiled=False
             )  # [D, H, F]; recv[s] = rows sent by shard s
-            # 2) ... interior band runs with no dependency on it ...
-            acc_int = mp_banded_partial(
-                M_int, lo, nodes.astype(compute_dtype), w, interpret=interpret
-            )
-            # 3) ... boundary-tile halo band consumes the received rows.
-            halo_nodes = recv.reshape(DH, -1).astype(compute_dtype)
-            acc_halo = mp_banded_partial(
-                M_halo, hlo, halo_nodes, w, interpret=interpret
-            )
-            acc = acc_int.at[rows].add(acc_halo)
-            nodes = mp_act(acc * inv_col) + nodes
+            halo_nodes = recv.reshape(DH, -1)
+            if attention:
+                # attention band depends on the layer's query, so the
+                # E=1 bands rebuild per layer (cf. apply_banded_attention)
+                a = attention_weights(
+                    lp["wq"], lp["wk"], nodes, e, inv_degree
+                )
+                a_band = jnp.where(real, a, 0.0)[..., None]  # [m, K, 1]
+                c = jnp.sum(jnp.where(real, 0.0, a), axis=-1)
+                wv3 = lp["wv"].astype(compute_dtype)[:, :, None]
+                Ma_int = build_band_tracedlo(
+                    lnl, a_band, lo, W, B,
+                    out_dtype=compute_dtype, interpret=interpret,
+                )
+                Ma_halo = build_band_tracedlo(
+                    jnp.take(lnl, rows, axis=0) - m,
+                    jnp.take(a_band, rows, axis=0),
+                    hlo, Wh, B, out_dtype=compute_dtype, interpret=interpret,
+                )
+                acc = mp_banded_partial(
+                    Ma_int, lo, nodes.astype(compute_dtype), wv3,
+                    interpret=interpret,
+                )
+                acc = acc.at[rows].add(
+                    mp_banded_partial(
+                        Ma_halo, hlo, halo_nodes.astype(compute_dtype), wv3,
+                        interpret=interpret,
+                    )
+                )
+                # padding-slot softmax mass -> global row 0 (quirk
+                # parity, cf. apply_banded_attention). Row 0 is the
+                # smallest external ref so it always occupies halo
+                # slot 0 of owner shard 0 when referenced; on shard 0
+                # it is the local first row. c == 0 when unreferenced.
+                row0 = jnp.where(me == 0, nodes[0], halo_nodes[0])
+                nodes = mp_act(acc + c[:, None] * (row0 @ lp["wv"])) + nodes
+            else:
+                w = lp["w"].astype(compute_dtype)
+                # 2) ... interior band runs with no dependency on the
+                # exchange ...
+                acc_int = mp_banded_partial(
+                    M_int, lo, nodes.astype(compute_dtype), w,
+                    interpret=interpret,
+                )
+                # 3) ... boundary-tile halo band consumes received rows.
+                acc_halo = mp_banded_partial(
+                    M_halo, hlo, halo_nodes.astype(compute_dtype), w,
+                    interpret=interpret,
+                )
+                acc = acc_int.at[rows].add(acc_halo)
+                nodes = mp_act(acc * inv_col) + nodes
 
         for lp in p["fc"][:-1]:
             nodes = _dense(lp, nodes, fc_act) + nodes

@@ -188,6 +188,27 @@ class TestPartitionedTraining:
 
 class TestAttentionPartitioned:
     @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_attention_banded_matches_single_device(self, graph_rcm, n_shards):
+        """Attention family on the multi-chip Pallas banded path:
+        per-layer one-channel bands + halo'd row-0 padding correction
+        equal the single-device attention forward."""
+        cfg = CFG.replace(mp_type="attention")
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), n_shards * 128)
+        params = init_params(jax.random.PRNGKey(1), cfg)
+        plan = make_banded_halo_plan(
+            np.asarray(gp.nlist), np.asarray(gp.edges), n_shards
+        )
+        mesh = make_mesh(data=8 // n_shards, graph=n_shards)
+        want = np.asarray(apply(params, cfg, gp))
+        got = np.asarray(
+            apply_partitioned_banded(
+                params, cfg, gp, plan, mesh, interpret=True
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+    @pytest.mark.parametrize("n_shards", [2, 4])
     def test_attention_matches_single_device(self, graph_rcm, n_shards):
         """AMPLayer-family partitioned forward (local softmax, halo'd
         value gather) equals the single-device attention forward."""
