@@ -86,9 +86,10 @@ class ServingModel:
         ``mesh``: a jax.sharding.Mesh with a ``partition_axis`` axis of
         size > 1 enables atom-partitioned multi-chip serving: the graph
         is padded to shards x 128 rows and predicted through the
-        partitioned banded forward (bilinear; parallel/halo.py
-        apply_partitioned_banded, overlapped halo exchange) or the
-        partitioned gather forward (attention). Works multi-host —
+        partitioned banded Pallas forward (both MP families;
+        parallel/halo.py apply_partitioned_banded, overlapped halo
+        exchange), with the XLA halo-gather forward for Pallas opt-outs
+        and shards whose working set exceeds VMEM. Works multi-host —
         every process calls predict() with the full structure.
         ``interpret`` forces Pallas interpret mode (defaults to True on
         CPU backends, for tests/virtual meshes).
@@ -357,7 +358,10 @@ class ServingModel:
         tiles and the MP weights."""
         cfg = self.config
         b = np.dtype(cfg.compute_dtype).itemsize
-        E, F = cfg.edge_feature_size, cfg.atom_feature_size
+        # the attention partitioned path builds one-channel bands with
+        # [F, F] weights, so its working set is E-fold smaller
+        E = 1 if cfg.mp_type == "attention" else cfg.edge_feature_size
+        F = cfg.atom_feature_size
         m = plan.halo.rows_per_shard
         table = (m + plan.halo_lanes) * F * b
         tiles = 2 * E * plan.block_rows * (plan.window + plan.halo_window) * b
@@ -370,8 +374,9 @@ class ServingModel:
         lists AND the real-edge mask, which shapes the band windows);
         the compiled forward is cached per plan in single-process runs
         (multi-process stays eager: operands must be re-globalized per
-        host each call). Banded Pallas for bilinear models whose
-        per-shard working set fits VMEM, halo-gather math otherwise."""
+        host each call). Banded Pallas for both MP families when the
+        per-shard working set fits VMEM and Pallas is enabled,
+        halo-gather math otherwise."""
         import jax.numpy as jnp
 
         from ..parallel import pad_to_multiple
@@ -392,11 +397,14 @@ class ServingModel:
         )
         if self._part_key != key:
             # banded Pallas serves BOTH MP families (bilinear: shared
-            # bands; attention: per-layer one-channel bands)
-            plan = make_banded_halo_plan(
-                np.asarray(gp.nlist), np.asarray(gp.edges), D
-            )
-            banded = self._partitioned_fits_vmem(plan)
+            # bands; attention: per-layer one-channel bands); Pallas
+            # opt-outs and oversized shards take the XLA halo-gather math
+            banded = False
+            if self.use_pallas:
+                plan = make_banded_halo_plan(
+                    np.asarray(gp.nlist), np.asarray(gp.edges), D
+                )
+                banded = self._partitioned_fits_vmem(plan)
             if not banded:
                 plan = make_halo_plan(np.asarray(gp.nlist), D)
             # generation counter: a rebuilt plan is baked into a fresh

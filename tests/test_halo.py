@@ -278,3 +278,43 @@ def test_partitioned_train_step_matches_single_device(graph_rcm):
             np.asarray(v), np.asarray(flat_want[key]),
             rtol=2e-3, atol=2e-5, err_msg=key,
         )
+
+
+def test_attention_partitioned_grads_match_single_device(graph_rcm):
+    """Context-parallel TRAINING for the attention family: grads through
+    the per-layer attention bands, the halo exchange and the row-0
+    padding correction equal the single-device gather-path grads."""
+    cfg = CFG.replace(mp_type="attention")
+    g, _ = graph_rcm
+    gp = pad_to_multiple(to_jnp(g), 4 * 128)
+    params = init_params(jax.random.PRNGKey(1), cfg)
+    plan = make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), 4)
+    mesh = make_mesh(data=2, graph=4)
+    n = gp.atoms.shape[0]
+    tgt = jnp.sin(jnp.arange(n, dtype=jnp.float32) * 0.1)
+
+    def loss_part(p):
+        peaks = apply_partitioned_banded(
+            p, cfg, gp, plan, mesh, interpret=True, differentiable=True
+        )
+        return jnp.mean((peaks - tgt) ** 2)
+
+    def loss_single(p):
+        return jnp.mean((apply(p, cfg, gp) - tgt) ** 2)
+
+    gpart = jax.grad(loss_part)(params)
+    gsing = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(
+            jax.grad(loss_single)(params)
+        )
+    )
+    checked = 0
+    for k, v in jax.tree_util.tree_leaves_with_path(gpart):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(gsing[key]),
+            rtol=2e-3, atol=2e-5, err_msg=key,
+        )
+        checked += 1
+    assert checked >= 10  # embed + edge_fc + wq/wk/wv + fc + out

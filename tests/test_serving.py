@@ -274,9 +274,9 @@ def test_vmapped_attention_banded_matches_per_frame():
 
 
 def test_serving_partitioned_mesh():
-    """ServingModel with a (graph=4,) mesh serves through the
-    atom-partitioned forward — banded Pallas for bilinear models,
-    halo-gather for attention — and matches the plain forward."""
+    """ServingModel with a (graph=4,) mesh serves both MP families
+    through the atom-partitioned banded Pallas forward and matches the
+    plain forward."""
     from nmrgnn_tpu.parallel import make_mesh
 
     g = structure2graph(PDB_108M)
