@@ -243,8 +243,12 @@ def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_si
                    "stage (~7e-3 ppm mean abs shift difference)")
 @click.option("--profile", default=None, type=click.Path(),
               help="capture a jax.profiler trace (XProf) to this directory")
+@click.option("--graph-parallel", default=0,
+              help="partition atoms over N devices (multi-chip serving "
+                   "through the banded partitioned forward; 0 = single "
+                   "device)")
 def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
-                device_graph, fast, precision, profile):
+                device_graph, fast, precision, profile, graph_parallel):
     """Predict chemical shifts for structure file(s)
     (reference main.py:192-278). Writes per-atom CSV with confidence."""
     import pandas as pd
@@ -280,7 +284,22 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
             "path builds graphs host-side, pipelined with inference)",
             err=True,
         )
-    if fast:
+    if graph_parallel:
+        from .models.serving import ServingModel
+        from .parallel import make_mesh
+
+        n_dev = len(jax.devices())
+        if graph_parallel > n_dev:
+            raise click.UsageError(
+                f"--graph-parallel {graph_parallel} exceeds the "
+                f"{n_dev} visible device(s)"
+            )
+        mesh = make_mesh(
+            data=n_dev // graph_parallel, graph=graph_parallel
+        )
+        serving = ServingModel(params, cfg, precision=precision, mesh=mesh)
+        click.echo(f"graph-parallel serving: mesh {dict(mesh.shape)}")
+    elif fast:
         from .models.serving import ServingModel
 
         serving = ServingModel(params, cfg, precision=precision)

@@ -145,3 +145,31 @@ class TestCLI:
     def test_train_requires_records(self, workdir):
         r = run_cli("train", str(workdir / "x"), "1")
         assert r.returncode != 0
+
+
+def test_eval_struct_graph_parallel(workdir, model_dir, tmp_path):
+    """--graph-parallel N partitions atoms over an N-shard mesh (CLI
+    surface of the multi-chip serving path) and agrees with the plain
+    forward."""
+    import pandas as pd
+
+    env4 = dict(ENV, XLA_FLAGS="--xla_force_host_platform_device_count=4")
+    out = str(tmp_path / "gp.csv")
+    r = subprocess.run(
+        [sys.executable, "-m", "nmrgnn_tpu.cli", "eval-struct", PDB_108M,
+         out, "--model-file", model_dir, "--graph-parallel", "4"],
+        capture_output=True, text=True, env=env4, cwd="/root/repo",
+        timeout=600,
+    )
+    assert r.returncode == 0, r.stderr
+    assert "graph-parallel serving: mesh" in r.stdout
+    df = pd.read_csv(out)
+    assert len(df) == 2482
+
+    out2 = str(tmp_path / "plain.csv")
+    r2 = run_cli("eval-struct", PDB_108M, out2, "--model-file", model_dir)
+    assert r2.returncode == 0, r2.stderr
+    plain = pd.read_csv(out2)
+    np.testing.assert_allclose(
+        df["peaks"].to_numpy(), plain["peaks"].to_numpy(), atol=0.02
+    )
