@@ -160,11 +160,20 @@ def main():
 
             row("attention gather f32", t_of(attn_gather, gp.atoms.shape[0]))
 
+            cheb_attn = fit_edge_chebyshev(
+                params_attn["edge_fc"], rbf_low=config.rbf_low,
+                rbf_high=config.rbf_high, rbf_count=config.edge_hidden_size,
+                activation=config.fc_activation, degree=64,
+            )
+
             def attn_banded(c):
                 g2 = grj._replace(edges=grj.edges + c[:, None] * 1e-30)
-                return apply_banded_attention(params_attn, cfg_attn, g2, plan)
+                return apply_banded_attention(
+                    params_attn, cfg_attn, g2, plan, cheb=cheb_attn
+                )
 
-            row(f"attention banded f32 (W={plan.window})", t_of(attn_banded, n))
+            row(f"attention banded+cheb f32 (W={plan.window})",
+                t_of(attn_banded, n))
 
             # training step benches (batchless whole-structure step)
             opt_state = tx.init(params)
