@@ -407,42 +407,55 @@ class ServingModel:
                 banded = self._partitioned_fits_vmem(plan)
             if not banded:
                 plan = make_halo_plan(np.asarray(gp.nlist), D)
-            # generation counter: a rebuilt plan is baked into a fresh
-            # jitted closure (same shapes would otherwise hit a stale one)
-            gen = (self._part_plan[2] + 1) if self._part_plan else 0
-            self._part_plan = (plan, banded, gen)
+            self._part_plan = (plan, banded)
             self._part_key = key
-        plan, banded, gen = self._part_plan
+        plan, banded = self._part_plan
+
+        # the plan's index arrays ride as runtime operands so a rebuilt
+        # SAME-SHAPE plan (trajectory frames under atom motion) reuses
+        # the compilation; only shape changes retrace
+        if banded:
+            arrays = (plan.halo.send_idx, plan.halo.local_nlist, plan.lo,
+                      plan.boundary_ids, plan.halo_lo)
+            jkey = ("part_banded", gp.atoms.shape[0], plan.window,
+                    plan.halo_window, plan.block_rows,
+                    plan.num_boundary_tiles, plan.halo.halo_size)
+        else:
+            arrays = (plan.send_idx, plan.local_nlist)
+            jkey = ("part_halo", gp.atoms.shape[0], plan.halo_size)
 
         config, mesh, axis = self.config, self.mesh, self.partition_axis
         interpret = self.interpret
         if jax.process_count() == 1:
-            jkey = ("partitioned", banded, gen)
             fn = self._jit_cache.get(jkey)
             if fn is None:
                 if banded:
                     @jax.jit
-                    def fn(params, gp):
+                    def fn(params, gp, arrays):
                         return apply_partitioned_banded(
                             params, config, gp, plan, mesh,
-                            axis=axis, interpret=interpret,
+                            axis=axis, interpret=interpret, arrays=arrays,
                         )
                 else:
                     @jax.jit
-                    def fn(params, gp):
+                    def fn(params, gp, arrays):
                         return apply_partitioned_halo(
-                            params, config, gp, plan, mesh, axis=axis
+                            params, config, gp, plan, mesh, axis=axis,
+                            arrays=arrays,
                         )
                 self._jit_cache[jkey] = fn
-            peaks = fn(self.params, gp)
+            peaks = fn(
+                self.params, gp, tuple(jnp.asarray(a) for a in arrays)
+            )
         elif banded:
             peaks = apply_partitioned_banded(
                 self.params, config, gp, plan, mesh,
-                axis=axis, interpret=interpret,
+                axis=axis, interpret=interpret, arrays=arrays,
             )
         else:
             peaks = apply_partitioned_halo(
-                self.params, config, gp, plan, mesh, axis=axis
+                self.params, config, gp, plan, mesh, axis=axis,
+                arrays=arrays,
             )
         if jax.process_count() > 1:
             from jax.experimental import multihost_utils

@@ -294,6 +294,7 @@ def apply_partitioned_banded(
     axis: str = "graph",
     interpret: bool = False,
     differentiable: bool = False,
+    arrays=None,
 ) -> jnp.ndarray:
     """Multi-chip forward with per-shard Pallas banded MP and overlapped
     halo exchange. Equals the single-device forward in f32. Serves both
@@ -301,6 +302,11 @@ def apply_partitioned_banded(
     attention (per-layer one-channel bands from the softmax weights,
     with the padding-mass rank-1 correction riding the halo's row-0
     slot).
+
+    ``arrays``: optional (send_idx, local_nlist, lo, boundary_ids,
+    halo_lo) overriding the plan's host arrays — pass traced values here
+    when calling under jit so a rebuilt same-shape plan (trajectory
+    frames) reuses the compilation instead of baking stale constants.
 
     ``differentiable=True`` swaps the Pallas calls for their custom-VJP
     wrappers (ops/banded build_band_tracedlo_df / mp_banded_partial_df)
@@ -341,18 +347,23 @@ def apply_partitioned_banded(
     compute_dtype = jnp.dtype(config.compute_dtype)
     row = P(axis)
 
-    send_idx = jnp.asarray(base.send_idx)  # [D, D, H] closure constant
     params = _global_params(params, mesh)
+    if arrays is None:
+        arrays = (base.send_idx, base.local_nlist, plan.lo,
+                  plan.boundary_ids, plan.halo_lo)
+    send_idx_a, lnl_a, lo_a, bids_a, hlo_a = arrays
     (
-        atoms_g, local_nlist, lo_all, bids_all, hlo_all, edges_g, inv_g,
+        send_idx_g, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
+        edges_g, inv_g,
     ) = _global_operands(
         mesh, axis,
         [
+            (send_idx_a, False),        # [D, D, H] replicated
             (graph.atoms, True),
-            (base.local_nlist, True),   # [D, m, K]
-            (plan.lo, True),            # [D, T]
-            (plan.boundary_ids, True),  # [D, Tb]
-            (plan.halo_lo, True),       # [D, Tb]
+            (lnl_a, True),              # [D, m, K]
+            (lo_a, True),               # [D, T]
+            (bids_a, True),             # [D, Tb]
+            (hlo_a, True),              # [D, Tb]
             (graph.edges, True),
             (graph.inv_degree, True),
         ],
@@ -362,13 +373,13 @@ def apply_partitioned_banded(
         jax.shard_map,
         mesh=mesh,
         in_specs=(
-            P(), row, P(axis, None, None), P(axis, None),
+            P(), P(), row, P(axis, None, None), P(axis, None),
             P(axis, None), P(axis, None), row, row,
         ),
         out_specs=row,
         check_vma=False,
     )
-    def fwd(p, atoms, lnl, lo, bids, hlo, edges, inv_degree):
+    def fwd(p, send_idx, atoms, lnl, lo, bids, hlo, edges, inv_degree):
         me = jax.lax.axis_index(axis)
         lnl = lnl[0]          # [m, K] workspace-relative neighbor ids
         lo = lo[0]            # [T]
@@ -482,7 +493,7 @@ def apply_partitioned_banded(
         )
 
     return fwd(
-        params, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
+        params, send_idx_g, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
         edges_g, inv_g,
     )
 
@@ -537,9 +548,13 @@ def apply_partitioned_halo(
     plan: HaloPlan,
     mesh: Mesh,
     axis: str = "graph",
+    arrays=None,
 ) -> jnp.ndarray:
     """Inference forward with halo-exchange message passing. The graph
     must be padded to plan.n_shards * plan.rows_per_shard atoms.
+    ``arrays``: optional (send_idx, local_nlist) traced overrides of the
+    plan's host arrays (jit-cache-friendly plan rebuilds, see
+    apply_partitioned_banded).
 
     Supports both MP families: bilinear (reference MPLayer) and
     attention (AMPLayer, config.mp_type == "attention"). The attention
@@ -553,13 +568,16 @@ def apply_partitioned_halo(
     mp_act = get_activation(config.mp_activation)
     row = P(axis)
 
-    send_idx = jnp.asarray(plan.send_idx)  # [D, D, H] closure constant
     params = _global_params(params, mesh)
-    atoms_g, local_nlist, edges_g, inv_g = _global_operands(
+    if arrays is None:
+        arrays = (plan.send_idx, plan.local_nlist)
+    send_idx_a, lnl_a = arrays
+    send_idx_g, atoms_g, local_nlist, edges_g, inv_g = _global_operands(
         mesh, axis,
         [
+            (send_idx_a, False),       # [D, D, H] replicated
             (graph.atoms, True),
-            (plan.local_nlist, True),  # [D, m, K]
+            (lnl_a, True),             # [D, m, K]
             (graph.edges, True),
             (graph.inv_degree, True),
         ],
@@ -568,11 +586,11 @@ def apply_partitioned_halo(
     @partial(
         jax.shard_map,
         mesh=mesh,
-        in_specs=(P(), row, P(axis, None, None), row, row),
+        in_specs=(P(), P(), row, P(axis, None, None), row, row),
         out_specs=row,
         check_vma=False,
     )
-    def fwd(p, atoms, lnl, edges, inv_degree):
+    def fwd(p, send_idx, atoms, lnl, edges, inv_degree):
         me = jax.lax.axis_index(axis)
         lnl = lnl[0]  # [m, K]
 
@@ -627,4 +645,4 @@ def apply_partitioned_halo(
             full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1
         )
 
-    return fwd(params, atoms_g, local_nlist, edges_g, inv_g)
+    return fwd(params, send_idx_g, atoms_g, local_nlist, edges_g, inv_g)

@@ -367,3 +367,21 @@ def test_attention_banded_cheb_edge_stage():
         apply_banded_attention(params, cfg, gj, plan, interpret=True, cheb=cheb)
     )
     np.testing.assert_allclose(fast, exact, rtol=1e-3, atol=1e-3)
+
+
+def test_partitioned_plan_rebuild_reuses_compilation():
+    """A rebuilt same-shape partitioned plan (trajectory frames) feeds
+    the cached jitted forward through runtime operands instead of
+    retracing with baked constants."""
+    from nmrgnn_tpu.parallel import make_mesh
+
+    g = structure2graph(PDB_108M)
+    mesh = make_mesh(data=2, graph=4)
+    params = init_params(jax.random.PRNGKey(4), CFG)
+    sm = ServingModel(params, CFG, mesh=mesh, use_pallas=True)
+    p1 = sm.predict(g)
+    n_compiled = len(sm._jit_cache)
+    sm._part_key = None  # force a plan rebuild on the same topology
+    p2 = sm.predict(g)
+    assert len(sm._jit_cache) == n_compiled  # same-shape plan: cache hit
+    np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
