@@ -62,10 +62,15 @@ def _jax():
 @click.option("--restore-best/--no-restore-best", default=False,
               help="export the best-validation weights instead of the last")
 @click.option("--seed", default=0, help="init/shuffle RNG seed")
+@click.option("--mp-path", default="auto",
+              type=click.Choice(["auto", "banded", "gather"]),
+              help="training-step message passing: banded = Pallas "
+                   "custom-VJP fast path (~2x faster steps; auto-selected "
+                   "on TPU), gather = XLA reference math")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
           tensorboard, load, loss_balance, batch_size, pad_to, config_path,
           data_parallel, tensor_parallel, lr_schedule, warmup_epochs,
-          ema_decay, restore_best, seed):
+          ema_decay, restore_best, seed, mp_path):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -86,6 +91,7 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
         checkpoint_path=checkpoint_path, batch_size=batch_size, pad_to=pad_to,
         lr_schedule=lr_schedule, warmup_epochs=warmup_epochs,
         ema_decay=ema_decay, restore_best=restore_best, seed=seed,
+        mp_path=mp_path,
     )
     click.echo(f"Loading from {len(tfrecords)} files")
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
@@ -102,6 +108,9 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
                          if tensor_parallel else 1)
         click.echo(f"mesh: {dict(mesh.shape)}")
     trainer = Trainer(cfg, tcfg, emb, mesh=mesh, tensor_parallel=tensor_parallel)
+    click.echo(
+        f"training step: {'banded Pallas fast path' if trainer.use_banded else 'XLA gather'}"
+    )
     state = trainer.load_checkpoint(checkpoint_path) if load else trainer.init_state()
 
     callbacks = []

@@ -109,6 +109,17 @@ class TrainConfig:
     batch_size: int = 8
     shuffle_buffer: int = 500
     seed: int = 0
+    # Which message-passing implementation the TRAINING/EVAL steps run:
+    #   "auto"   — the banded fast path on TPU when eligible, else gather
+    #   "banded" — force the banded custom-VJP Pallas path
+    #              (models/infer.apply_banded_fragments: ~2x faster
+    #              steps than the gather math, grad parity to roundoff;
+    #              interpreter-mode kernels off-TPU)
+    #   "gather" — force the XLA gather+einsum path (gnn.apply_batched,
+    #              reference-equivalent lowering)
+    # Eligibility for banded: bilinear MP family, pad_to and
+    # atom_feature_size multiples of 128, no tensor parallelism.
+    mp_path: str = "auto"
     # Run each epoch as ONE jitted lax.scan over the stacked batches
     # (single device dispatch + single loss readback per epoch) instead
     # of per-batch dispatch. Large wall-clock win when dispatch latency

@@ -343,6 +343,118 @@ def apply_banded_attention(
     return _readout(params, config, atoms, nodes, dropout_rng=drng)
 
 
+def fragment_band_plan(
+    batch_size: int, pad_to: int, block_rows: int = 128
+) -> BandPlan:
+    """Static band plan for a FLATTENED batch of padded fragments.
+
+    A batch of ``batch_size`` fragments padded to ``pad_to`` atoms,
+    flattened to ``batch_size * pad_to`` rows with each fragment's
+    neighbor indices offset by its row base, is a block-banded operator
+    by construction: every tile of fragment b only references rows in
+    [b * pad_to, (b + 1) * pad_to). The plan is therefore STATIC — it
+    depends on (batch_size, pad_to) only, never on the topology — so one
+    compiled kernel set serves every training batch with zero per-batch
+    host work (no RCM reorder, no band_plan scan). The window equals the
+    fragment, so the banded MP layer is pure dense MXU work per fragment
+    — the TPU-native form of the reference's per-fragment training step
+    (reference main.py:79-80).
+    """
+    if pad_to % block_rows:
+        raise ValueError(f"pad_to={pad_to} must be a multiple of {block_rows}")
+    tiles_per_frag = pad_to // block_rows
+    lo = np.repeat(np.arange(batch_size, dtype=np.int64) * pad_to, tiles_per_frag)
+    return BandPlan(
+        lo=lo.astype(np.int32),
+        window=pad_to,
+        block_rows=block_rows,
+        n_padded=batch_size * pad_to,
+    )
+
+
+def apply_banded_fragments(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    *,
+    training: bool = False,
+    rngs=None,
+    plan: Optional[BandPlan] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Differentiable banded forward over a BATCH of padded fragments:
+    Graph[B, N, ...] -> peaks f32[B, N]. The production-training fast
+    path: same math as gnn.apply_batched (reference GNNModel forward,
+    model.py:245-274) with the MP gather+einsum replaced by the banded
+    Pallas kernels over the flattened batch (see fragment_band_plan).
+
+    RNG parity: ``rngs`` is the [B] per-fragment key array exactly as
+    gnn.apply_batched produces with jax.random.split(rng, B), and the
+    per-fragment noise/dropout draws consume splits in the same order as
+    gnn.apply — so with the same seed the two paths sample identical
+    noise and dropout masks and their gradients agree to roundoff (the
+    training-parity contract, tested in tests/test_trainer.py).
+    """
+    atoms, nlist, edges, inv_degree = graph
+    B, N, K = nlist.shape
+    V = atoms.shape[-1]
+    if plan is None:
+        plan = fragment_band_plan(B, N)
+    assert plan.n_padded == B * N and plan.window == N, (plan, B, N)
+
+    # padding mask from the ORIGINAL distances, before noise
+    # (reference model.py:251 masks pre-noise; see _edge_features)
+    edge_mask = (edges > 0).astype(jnp.float32)[..., None]  # [B, N, K, 1]
+    drngs = None
+    if training:
+        if rngs is None:
+            raise ValueError("training=True requires rngs (one key per fragment)")
+        if config.noise > 0:
+            nxt = jax.vmap(jax.random.split)(rngs)       # [B, 2, key]
+            rngs, nrngs = nxt[:, 0], nxt[:, 1]
+            noise = jax.vmap(
+                lambda r: jax.random.normal(r, (N, K), edges.dtype)
+            )(nrngs)
+            edges = edges + config.noise * noise
+        if config.dropout:
+            nxt = jax.vmap(jax.random.split)(rngs)
+            drngs = nxt[:, 1]
+
+    flat = lambda a: a.reshape((B * N,) + a.shape[2:])
+    offs = (jnp.arange(B, dtype=nlist.dtype) * N)[:, None, None]
+    nlist_f = flat(nlist + offs)                         # padding slots get
+    edges_f = flat(edges)                                # e == 0: harmless
+    mask_f = flat(edge_mask)
+    inv_f = flat(inv_degree)
+
+    e = _edge_features(params, config, edges_f, mask=mask_f)
+    M = build_band_df(nlist_f, e, plan, interpret=interpret)
+
+    nodes = _dense(params["embed"], flat(atoms))
+    for p in params["mp"]:
+        nodes = mp_banded_df(
+            M, plan, nodes, p["w"], inv_f, config.mp_activation,
+            interpret=interpret,
+        )
+
+    nodes = nodes.reshape(B, N, -1)
+    fc_act = get_activation(config.fc_activation)
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    for p in params["fc"][:-1]:
+        nodes = _dense(p, nodes, fc_act, compute_dtype=compute_dtype) + nodes
+    nodes = _dense(params["fc"][-1], nodes, fc_act, compute_dtype=compute_dtype)
+    if drngs is not None:
+        keep = 1.0 - config.dropout_rate
+        mask = jax.vmap(
+            lambda r: jax.random.bernoulli(r, keep, nodes.shape[1:])
+        )(drngs)
+        nodes = jnp.where(mask, nodes / keep, 0.0)
+    full_peaks = _dense(params["out"], nodes, compute_dtype=compute_dtype)
+    peak_std = jax.lax.stop_gradient(params["peak_std"])
+    peak_avg = jax.lax.stop_gradient(params["peak_avg"])
+    return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)
+
+
 def apply_banded_trainable(
     params,
     config: ModelConfig,

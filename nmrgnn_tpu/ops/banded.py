@@ -456,7 +456,7 @@ def mp_banded_hbm(
         in_specs=[
             pl.BlockSpec((1, E, B, W), lambda t, lo: (t, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # node table in HBM
+            pl.BlockSpec(memory_space=pl.ANY),  # node table in HBM
             pl.BlockSpec((E, F, F), lambda t, lo: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((B, 1), lambda t, lo: (t, 0), memory_space=pltpu.VMEM),
@@ -737,33 +737,39 @@ def build_band_df(
     out_dtype=jnp.float32,
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Differentiable build_band (grads flow to ``edge_feats``)."""
+    """Differentiable build_band (grads flow to ``edge_feats``).
+    ``nlist`` rides as an explicit custom_vjp operand (float0 cotangent)
+    rather than a closure — it is a tracer when this runs inside
+    shard_map/jit (e.g. the data-parallel banded training step), and
+    custom_vjp closures over tracers leak."""
     n, k = nlist.shape
     window, block_rows = plan.window, plan.block_rows
-    lo = jnp.asarray(plan.lo)
 
     @jax.custom_vjp
-    def f(e):
+    def f(nlist, e):
         return build_band(nlist, e, plan, out_dtype=out_dtype, interpret=interpret)
 
-    def fwd(e):
-        return f(e), ()
+    def fwd(nlist, e):
+        return f(nlist, e), (nlist,)
 
-    def bwd(_, gM):
+    def bwd(res, gM):
+        (nlist,) = res
         t = plan.num_tiles
         e_ch = gM.shape[1]
-        rows = jnp.arange(n) // block_rows
-        rel = nlist - lo[rows][:, None]                     # [N, K]
+        # numpy constants, NOT jnp: device constants minted in the
+        # forward trace would leak into this (later) backward trace
+        lo_rows = np.repeat(plan.lo.astype(np.int32), block_rows)[:n]
+        rel = nlist - lo_rows[:, None]                      # [N, K]
         valid = (rel >= 0) & (rel < window)
         relc = jnp.clip(rel, 0, window - 1)
         # [T, E, B, W] -> [N, W, E]
         gmr = jnp.moveaxis(gM.astype(jnp.float32), 1, -1)
         gmr = gmr.reshape(t * block_rows, window, e_ch)[:n]
         de = jax.vmap(lambda row, idx: row[idx])(gmr, relc)  # [N, K, E]
-        return (jnp.where(valid[..., None], de, 0.0),)
+        return (_float0_like(nlist), jnp.where(valid[..., None], de, 0.0))
 
     f.defvjp(fwd, bwd)
-    return f(edge_feats)
+    return f(nlist.astype(jnp.int32), edge_feats)
 
 
 def mp_banded_df(
@@ -775,29 +781,32 @@ def mp_banded_df(
     activation_name: str = "softplus",
     interpret: bool = False,
 ) -> jnp.ndarray:
-    """Differentiable mp_banded (grads flow to M, nodes, w)."""
+    """Differentiable mp_banded (grads flow to M, nodes, w, inv_degree).
+    ``inv_degree`` rides as an explicit custom_vjp operand — it is a
+    tracer inside shard_map (data-parallel banded training), and
+    custom_vjp closures over tracers leak under jit."""
 
     @jax.custom_vjp
-    def f(M, nodes, w):
+    def f(M, nodes, w, inv_degree):
         return mp_banded(
             M, plan, nodes, w, inv_degree, activation_name, interpret=interpret
         )
 
-    def fwd(M, nodes, w):
-        return f(M, nodes, w), (M, nodes, w)
+    def fwd(M, nodes, w, inv_degree):
+        return f(M, nodes, w, inv_degree), (M, nodes, w, inv_degree)
 
     def bwd(res, g):
-        M, nodes, w = res
+        M, nodes, w, inv_degree = res
         _, vjp = jax.vjp(
-            lambda M, nodes, w: mp_banded_xla(
-                M, plan, nodes.astype(jnp.float32), w, inv_degree, activation_name
+            lambda M, nodes, w, inv: mp_banded_xla(
+                M, plan, nodes.astype(jnp.float32), w, inv, activation_name
             ).astype(nodes.dtype),
-            M, nodes, w,
+            M, nodes, w, inv_degree,
         )
         return vjp(g)
 
     f.defvjp(fwd, bwd)
-    return f(M, nodes, w)
+    return f(M, nodes, w, inv_degree)
 
 
 # ---------------------------------------------------------------------------

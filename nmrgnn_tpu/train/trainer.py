@@ -144,18 +144,126 @@ class Trainer:
         self._tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.config.learning_rate
         )
+        self.use_banded = self._resolve_mp_path()
         self._build_steps()
 
+    def _resolve_mp_path(self) -> bool:
+        """Whether the train/eval steps run the banded custom-VJP Pallas
+        path (models/infer.apply_banded_fragments) instead of the XLA
+        gather math. See TrainConfig.mp_path."""
+        path = self.tcfg.mp_path
+        if path == "gather":
+            return False
+        eligible = (
+            self.config.mp_type == "bilinear"
+            and self.tcfg.pad_to % 128 == 0
+            and self.config.atom_feature_size % 128 == 0
+            and not self.tensor_parallel
+        )
+        if path == "banded":
+            if not eligible:
+                raise ValueError(
+                    "mp_path='banded' requires the bilinear MP family, "
+                    "pad_to and atom_feature_size multiples of 128, and "
+                    "no tensor parallelism "
+                    f"(got mp_type={self.config.mp_type}, "
+                    f"pad_to={self.tcfg.pad_to}, "
+                    f"F={self.config.atom_feature_size}, "
+                    f"tensor_parallel={self.tensor_parallel})"
+                )
+            return True
+        if path != "auto":
+            raise ValueError(f"unknown mp_path {path!r}")
+        return eligible and jax.default_backend() == "tpu"
+
     # -- jitted steps ------------------------------------------------------
+    def _make_forwards(self):
+        """(train_fwd(params, graph, rng), eval_fwd(params, graph)) pair:
+        the banded Pallas fast path when use_banded (same rng stream as
+        gnn.apply_batched, so switching paths preserves the draws), else
+        the XLA gather math. Under a mesh the banded kernels run inside
+        shard_map over the 'data' axis (each shard flattens + bands its
+        local fragments; Pallas custom calls have no SPMD partitioning
+        rules, so plain jit would replicate them)."""
+        cfg = self.config
+        if not self.use_banded:
+            return (
+                lambda params, graph, rng: gnn.apply_batched(
+                    params, cfg, graph, training=True, rng=rng
+                ),
+                lambda params, graph: gnn.apply_batched(params, cfg, graph),
+            )
+        from ..models.infer import apply_banded_fragments, fragment_band_plan
+
+        interp = jax.default_backend() != "tpu"
+        B, N = self.tcfg.batch_size, self.tcfg.pad_to
+        if self.mesh is None:
+            plan = fragment_band_plan(B, N)
+
+            def train_fwd(params, graph, rng):
+                rngs = jax.random.split(rng, graph.atoms.shape[0])
+                return apply_banded_fragments(
+                    params, cfg, graph, training=True, rngs=rngs,
+                    plan=plan, interpret=interp,
+                )
+
+            def eval_fwd(params, graph):
+                return apply_banded_fragments(
+                    params, cfg, graph,
+                    plan=fragment_band_plan(graph.atoms.shape[0], N),
+                    interpret=interp,
+                )
+
+            return train_fwd, eval_fwd
+
+        from functools import partial
+
+        from jax.sharding import PartitionSpec as P
+
+        dp = self.mesh.shape["data"]
+        plan_local = fragment_band_plan(B // dp, N)
+
+        def local_train(params, atoms, nlist, edges, inv, rngs):
+            return apply_banded_fragments(
+                params, cfg, Graph(atoms, nlist, edges, inv),
+                training=True, rngs=rngs, plan=plan_local, interpret=interp,
+            )
+
+        def local_eval(params, atoms, nlist, edges, inv):
+            return apply_banded_fragments(
+                params, cfg, Graph(atoms, nlist, edges, inv),
+                plan=plan_local, interpret=interp,
+            )
+
+        d = P("data")
+        sm_train = partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(), d, d, d, d, d), out_specs=d, check_vma=False,
+        )
+        sm_eval = partial(
+            jax.shard_map, mesh=self.mesh,
+            in_specs=(P(), d, d, d, d), out_specs=d, check_vma=False,
+        )
+
+        def train_fwd(params, graph, rng):
+            rngs = jax.random.split(rng, graph.atoms.shape[0])
+            return sm_train(local_train)(params, *graph, rngs)
+
+        def eval_fwd(params, graph):
+            return sm_eval(local_eval)(params, *graph)
+
+        return train_fwd, eval_fwd
+
     def _build_steps(self):
         cfg = self.config
         s = self.tcfg.loss_balance
         loss_idx = self.loss_idx
         tx = self._tx
         specs = self.metric_specs
+        train_fwd, eval_fwd = self._make_forwards()
 
         def loss_fn(params, graph, y, w, rng):
-            peaks = gnn.apply_batched(params, cfg, graph, training=True, rng=rng)
+            peaks = train_fwd(params, graph, rng)
             yt = fold_sample_weight(y, w)
             return name_loss(
                 yt.reshape(-1, 3), peaks.reshape(-1), loss_idx, s=s
@@ -177,7 +285,7 @@ class Trainer:
             return params, opt_state, ema_update(ema, params), loss
 
         def eval_step(params, graph, y, w):
-            peaks = gnn.apply_batched(params, cfg, graph)
+            peaks = eval_fwd(params, graph)
             yt = fold_sample_weight(y, w).reshape(-1, 3)
             yp = peaks.reshape(-1)
             loss = name_loss(yt, yp, loss_idx, s=s)

@@ -128,6 +128,134 @@ class TestNativeRecipe:
         assert out["loss"] == pytest.approx(min(best_by_epoch), rel=1e-4)
 
 
+BANDED = ModelConfig(
+    atom_feature_size=128,
+    edge_hidden_size=16,
+    mp_layers=2,
+    fc_layers=2,
+    edge_fc_layers=2,
+    learning_rate=1e-3,
+    noise=0.025,
+    dropout=True,
+)
+
+
+class TestBandedTrainingPath:
+    """The production banded fast path (TrainConfig.mp_path) must be a
+    drop-in for the gather math: same rng stream, same draws, grads and
+    trained params equal to roundoff (VERDICT r3 item 1)."""
+
+    @pytest.fixture(scope="class")
+    def frag128(self, tmp_path_factory):
+        path = str(tmp_path_factory.mktemp("banded") / "frags.tfrecord")
+        struct = read_structure(PDB_108M)
+        write_structure_fragments(path, struct, frames=range(1), fragment_size=100)
+        return list(read_fragments(path))
+
+    def test_grad_parity_same_rng(self, frag128):
+        import jax
+        import jax.numpy as jnp
+
+        from nmrgnn_tpu.data.dataset import batch_samples
+        from nmrgnn_tpu.graph import Graph
+        from nmrgnn_tpu.models import gnn
+        from nmrgnn_tpu.models.infer import apply_banded_fragments
+
+        g, y, w = batch_samples(frag128[:4], 128)
+        graph = Graph(*[jnp.asarray(a) for a in g])
+        params = gnn.init_params(jax.random.PRNGKey(1), BANDED)
+        key = jax.random.PRNGKey(7)
+        wj = jnp.asarray(w)
+
+        def loss_gather(p):
+            return jnp.sum(
+                gnn.apply_batched(p, BANDED, graph, training=True, rng=key) * wj
+            )
+
+        def loss_banded(p):
+            rngs = jax.random.split(key, 4)
+            return jnp.sum(
+                apply_banded_fragments(
+                    p, BANDED, graph, training=True, rngs=rngs, interpret=True
+                )
+                * wj
+            )
+
+        l1, g1 = jax.value_and_grad(loss_gather)(params)
+        l2, g2 = jax.value_and_grad(loss_banded)(params)
+        # identical noise/dropout draws (same split order) => roundoff-only
+        assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+        for (k1, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(g1),
+            jax.tree_util.tree_leaves_with_path(g2),
+        ):
+            scale = float(jnp.max(jnp.abs(a))) + 1e-9
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-4 * scale,
+                err_msg=jax.tree_util.keystr(k1),
+            )
+
+    def test_trained_params_match_gather(self, frag128):
+        import jax
+
+        def run(mp_path, mesh=None):
+            tr = Trainer(
+                BANDED,
+                TrainConfig(epochs=1, batch_size=4, pad_to=128, seed=0,
+                            mp_path=mp_path),
+                mesh=mesh,
+            )
+            return tr, tr.fit(frag128[:8], frag128[8:10], verbose=False)
+
+        tg, sg = run("gather")
+        tb, sb = run("banded")
+        assert not tg.use_banded and tb.use_banded
+        for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(sg.params),
+            jax.tree_util.tree_leaves_with_path(sb.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(k),
+            )
+        assert sg.history["loss"][0] == pytest.approx(
+            sb.history["loss"][0], rel=1e-5
+        )
+
+    def test_banded_dp_mesh_matches_single_device(self, frag128):
+        """Data-parallel banded training (shard_map over 'data') equals
+        the single-device banded step."""
+        import jax
+
+        from nmrgnn_tpu.parallel import make_mesh
+
+        tcfg = TrainConfig(epochs=1, batch_size=4, pad_to=128, seed=0,
+                           mp_path="banded")
+        t1 = Trainer(BANDED, tcfg)
+        s1 = t1.fit(frag128[:8], frag128[8:10], verbose=False)
+        mesh = make_mesh(data=2, graph=1)
+        t2 = Trainer(BANDED, tcfg, mesh=mesh)
+        s2 = t2.fit(frag128[:8], frag128[8:10], verbose=False)
+        for (k, a), (_, b) in zip(
+            jax.tree_util.tree_leaves_with_path(s1.params),
+            jax.tree_util.tree_leaves_with_path(s2.params),
+        ):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=1e-5,
+                err_msg=jax.tree_util.keystr(k),
+            )
+
+    def test_auto_resolution_and_validation(self):
+        # CPU backend: auto resolves to gather
+        tr = Trainer(BANDED, TrainConfig(mp_path="auto", pad_to=128))
+        assert not tr.use_banded
+        # ineligible config + forced banded is a loud error
+        with pytest.raises(ValueError):
+            Trainer(SMALL, TrainConfig(mp_path="banded", pad_to=64))
+        with pytest.raises(ValueError):
+            Trainer(BANDED, TrainConfig(mp_path="nope"))
+
+
 class TestNanRecovery:
     def test_nan_loss_recovers(self, samples):
         """A diverging run (huge lr) restores the last finite snapshot
