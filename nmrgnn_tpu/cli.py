@@ -52,6 +52,10 @@ def _jax():
               help="shard batches over N devices (0 = single device)")
 @click.option("--tensor-parallel/--no-tensor-parallel", default=False,
               help="also shard MP/FC kernels over the remaining devices")
+@click.option("--graph-parallel", default=0,
+              help="train on WHOLE structures (make-struct-records input), "
+                   "atoms partitioned over N devices with banded Pallas MP "
+                   "and halo exchange — no fragmenting (0 = off)")
 @click.option("--lr-schedule", default="plateau",
               type=click.Choice(["plateau", "cosine"]),
               help="plateau = reference ReduceLROnPlateau parity; cosine = "
@@ -69,8 +73,8 @@ def _jax():
                    "on TPU), gather = XLA reference math")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
           tensorboard, load, loss_balance, batch_size, pad_to, config_path,
-          data_parallel, tensor_parallel, lr_schedule, warmup_epochs,
-          ema_decay, restore_best, seed, mp_path):
+          data_parallel, tensor_parallel, graph_parallel, lr_schedule,
+          warmup_epochs, ema_decay, restore_best, seed, mp_path):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -97,6 +101,47 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)
     click.echo(f"train={len(train_s)} val={len(val_s)} fragments")
 
+    if graph_parallel:
+        if data_parallel or tensor_parallel:
+            raise click.UsageError(
+                "--graph-parallel trains one whole structure per step; "
+                "combine with neither --data-parallel nor --tensor-parallel"
+            )
+        from .parallel import make_mesh
+        from .train.partitioned import PartitionedTrainer
+
+        import jax
+
+        n_dev = len(jax.devices())
+        if graph_parallel > n_dev:
+            raise click.UsageError(
+                f"--graph-parallel {graph_parallel} exceeds the "
+                f"{n_dev} visible device(s)"
+            )
+        if n_dev % graph_parallel:
+            click.echo(
+                f"note: {n_dev} devices not divisible by "
+                f"--graph-parallel {graph_parallel}; using "
+                f"{n_dev - n_dev % graph_parallel}",
+                err=True,
+            )
+        mesh = make_mesh(data=n_dev // graph_parallel, graph=graph_parallel)
+        click.echo(f"graph-parallel training: mesh {dict(mesh.shape)}")
+        trainer = PartitionedTrainer(cfg, tcfg, mesh=mesh, embeddings=emb)
+        state = (
+            trainer.load_checkpoint(checkpoint_path) if load
+            else trainer.init_state()
+        )
+        callbacks = _tensorboard_callbacks(tensorboard)
+        state = trainer.fit(
+            train_s, val_s, epochs=epochs, state=state,
+            checkpoint_path=checkpoint_path, callbacks=callbacks,
+        )
+        save_model(name, state.eval_params, cfg)
+        _dump_history(name, state.history)
+        click.echo(f"Saved model to {name}")
+        return
+
     mesh = None
     if data_parallel:
         from .parallel import make_mesh
@@ -113,37 +158,44 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
     )
     state = trainer.load_checkpoint(checkpoint_path) if load else trainer.init_state()
 
-    callbacks = []
-    if tensorboard:
-        from .utils.tb_events import EventWriter
-
-        os.makedirs(tensorboard, exist_ok=True)
-        logf = open(os.path.join(tensorboard, "scalars.jsonl"), "a")
-        events = EventWriter(tensorboard)
-
-        def log_cb(st, logs):
-            import json
-
-            logf.write(json.dumps({"epoch": st.epoch, **logs}) + "\n")
-            logf.flush()
-            events.scalars(logs, st.epoch)
-            events.flush()
-
-        callbacks.append(log_cb)
-
+    callbacks = _tensorboard_callbacks(tensorboard)
     state = trainer.fit(
         train_s, val_s, epochs=epochs, state=state,
         checkpoint_path=checkpoint_path, callbacks=callbacks,
     )
     save_model(name, state.eval_params, cfg)
+    _dump_history(name, state.history)
+    click.echo(f"Saved model to {name}")
+
+
+def _tensorboard_callbacks(tensorboard):
+    if not tensorboard:
+        return []
+    from .utils.tb_events import EventWriter
+
+    os.makedirs(tensorboard, exist_ok=True)
+    logf = open(os.path.join(tensorboard, "scalars.jsonl"), "a")
+    events = EventWriter(tensorboard)
+
+    def log_cb(st, logs):
+        import json
+
+        logf.write(json.dumps({"epoch": st.epoch, **logs}) + "\n")
+        logf.flush()
+        events.scalars(logs, st.epoch)
+        events.flush()
+
+    return [log_cb]
+
+
+def _dump_history(name, history):
     # history pickle, reference main.py:84-90
     pfile, i = name + "-history-0.pb", 0
     while os.path.exists(pfile):
         i += 1
         pfile = f"{name}-history-{i}.pb"
     with open(pfile, "wb") as f:
-        pickle.dump(state.history, file=f)
-    click.echo(f"Saved model to {name}")
+        pickle.dump(history, file=f)
 
 
 @main.command("eval-tfrecords")
@@ -419,6 +471,48 @@ def make_fragments(struct_files, output_tfrecord, fragment_size, neighbor_number
             fragment_size=fragment_size, neighbor_number=neighbor_number,
         )
     click.echo(f"Wrote {total} fragments to {output_tfrecord}")
+
+
+@main.command("make-struct-records")
+@click.argument("struct-files", nargs=-1, type=click.Path(exists=True))
+@click.argument("output-tfrecord")
+@click.option("--neighbor-number", default=16)
+@click.option("--frames", default=None, type=int, help="limit trajectory frames")
+@click.option("--shifts", "shifts_csv", default=None, type=click.Path(exists=True),
+              help="CSV of real labels with columns index,shift[,frame] "
+                   "(atoms absent from the CSV train unlabeled); synthetic "
+                   "geometry-derived labels otherwise")
+def make_struct_records(struct_files, output_tfrecord, neighbor_number, frames,
+                        shifts_csv):
+    """Write WHOLE-STRUCTURE labeled records (one per frame) — the input
+    for graph-partitioned training (`train --graph-parallel N`), which
+    trains on the intact protein with no fragmenting (the reference can
+    only train on ~256-atom fragments, SURVEY.md App. B)."""
+    from .data.fragment import write_structure_records
+    from .data.pdb import read_structure
+
+    total = 0
+    append = False
+    for sf in struct_files:
+        struct = read_structure(sf)
+        r = range(min(frames, struct.n_frames)) if frames else None
+        shifts = None
+        if shifts_csv:
+            import pandas as pd
+
+            df = pd.read_csv(shifts_csv)
+            nf = struct.n_frames if r is None else len(r)
+            shifts = np.full((nf, struct.n_atoms), np.nan, np.float32)
+            fcol = df["frame"] if "frame" in df else np.zeros(len(df), int)
+            for f, i, s in zip(fcol, df["index"], df["shift"]):
+                if int(f) < nf:
+                    shifts[int(f), int(i)] = s
+        total += write_structure_records(
+            output_tfrecord, struct, frames=r, shifts=shifts,
+            neighbor_number=neighbor_number, append=append,
+        )
+        append = True
+    click.echo(f"Wrote {total} whole-structure records to {output_tfrecord}")
 
 
 @main.command("make-organic")

@@ -102,6 +102,52 @@ def name_index_for(struct: Structure, embeddings: Optional[dict] = None) -> np.n
     )
 
 
+def write_structure_records(
+    path: str,
+    struct: Structure,
+    frames: Optional[range] = None,
+    shifts: Optional[np.ndarray] = None,  # f32[T, N] real labels if known
+    neighbor_number: int = 16,
+    append: bool = False,
+) -> int:
+    """Write WHOLE-STRUCTURE labeled records (one per frame) — the input
+    format for graph-partitioned (context-parallel) training, where the
+    intact protein trains across chips with no fragmenting at all
+    (parallel/halo.make_partitioned_train_step; the reference can only
+    train on ~256-atom fragments, SURVEY.md App. B / README.md:126).
+
+    Same TFRecord schema as the fragment records (data/dataset.py), just
+    with N = the full structure — the readers are shared. Labels default
+    to the synthetic geometry-derived shifts; pass ``shifts`` f32[T, N]
+    (NaN = unlabeled atom) for real data. Returns the record count.
+    """
+    embeddings = load_embeddings()
+    name_idx = name_index_for(struct, embeddings)
+    elem_idx = np.asarray(
+        [element_to_index(e) for e in struct.elements], np.int64
+    )
+    frames = frames if frames is not None else range(struct.n_frames)
+    count = 0
+    with TFRecordWriter(path, append=append) as w:
+        for t in frames:
+            nlist, dists = neighbors_host(struct.coords[t], neighbor_number)
+            edges = (dists * ANGSTROM_TO_NM).astype(np.float32)
+            if shifts is not None:
+                shift = np.asarray(shifts[t], np.float32)
+                labeled = np.isfinite(shift)
+                shift = np.where(labeled, shift, 0.0).astype(np.float32)
+            else:
+                shift = synthetic_shift(elem_idx, edges)
+                labeled = np.ones(len(elem_idx), bool)
+            label_weight = ((name_idx > 0) & labeled).astype(np.float32)
+            write_fragment(
+                w, elem_idx, nlist, edges, shift, name_idx, label_weight,
+                np.ones(len(elem_idx), np.float32),
+            )
+            count += 1
+    return count
+
+
 def write_structure_fragments(
     path: str,
     struct: Structure,

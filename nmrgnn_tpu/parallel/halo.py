@@ -295,6 +295,8 @@ def apply_partitioned_banded(
     interpret: bool = False,
     differentiable: bool = False,
     arrays=None,
+    training: bool = False,
+    rng=None,
 ) -> jnp.ndarray:
     """Multi-chip forward with per-shard Pallas banded MP and overlapped
     halo exchange. Equals the single-device forward in f32. Serves both
@@ -302,6 +304,14 @@ def apply_partitioned_banded(
     attention (per-layer one-channel bands from the softmax weights,
     with the padding-mass rank-1 correction riding the halo's row-0
     slot).
+
+    ``training=True`` (requires ``rng``) applies the reference's
+    training-time regularization — Gaussian distance noise before the
+    edge stage and readout dropout (reference model.py:253,266-267) —
+    with shard-local draws (the key is folded with the shard index, so
+    the whole-protein draws differ from a single-device run's but are
+    i.i.d. with the same distribution). The padding mask is computed
+    from the PRE-noise distances, like every other forward here.
 
     ``arrays``: optional (send_idx, local_nlist, lo, boundary_ids,
     halo_lo) overriding the plan's host arrays — pass traced values here
@@ -337,6 +347,10 @@ def apply_partitioned_banded(
     if differentiable:
         build_band_tracedlo = build_band_tracedlo_df
         mp_banded_partial = mp_banded_partial_df
+    if training and rng is None:
+        raise ValueError("training=True requires rng")
+    if rng is None:
+        rng = jax.random.PRNGKey(0)  # unused; keeps the operand list static
 
     base = plan.halo
     D, m, H = base.n_shards, base.rows_per_shard, base.halo_size
@@ -354,7 +368,7 @@ def apply_partitioned_banded(
     send_idx_a, lnl_a, lo_a, bids_a, hlo_a = arrays
     (
         send_idx_g, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
-        edges_g, inv_g,
+        edges_g, inv_g, rng_g,
     ) = _global_operands(
         mesh, axis,
         [
@@ -366,6 +380,7 @@ def apply_partitioned_banded(
             (hlo_a, True),              # [D, Tb]
             (graph.edges, True),
             (graph.inv_degree, True),
+            (rng, False),               # replicated; folded per shard
         ],
     )
 
@@ -374,19 +389,26 @@ def apply_partitioned_banded(
         mesh=mesh,
         in_specs=(
             P(), P(), row, P(axis, None, None), P(axis, None),
-            P(axis, None), P(axis, None), row, row,
+            P(axis, None), P(axis, None), row, row, P(),
         ),
         out_specs=row,
         check_vma=False,
     )
-    def fwd(p, send_idx, atoms, lnl, lo, bids, hlo, edges, inv_degree):
+    def fwd(p, send_idx, atoms, lnl, lo, bids, hlo, edges, inv_degree, rng):
         me = jax.lax.axis_index(axis)
         lnl = lnl[0]          # [m, K] workspace-relative neighbor ids
         lo = lo[0]            # [T]
         bids = bids[0]        # [Tb] boundary tile indices
         hlo = hlo[0]          # [Tb] halo window starts
 
+        # padding masks from the ORIGINAL distances, before noise
         edge_mask = (edges > 0).astype(jnp.float32)[..., None]
+        real = edges > 0
+        if training and config.noise > 0:
+            nrng = jax.random.fold_in(jax.random.fold_in(rng, 1), me)
+            edges = edges + config.noise * jax.random.normal(
+                nrng, edges.shape, edges.dtype
+            )
         e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
         e = e * edge_mask
         for i, lp in enumerate(p["edge_fc"]):
@@ -418,7 +440,6 @@ def apply_partitioned_banded(
         my_send = jax.lax.dynamic_index_in_dim(send_idx, me, 0, keepdims=False)
 
         inv_col = inv_degree[:, None]
-        real = edges > 0
         for lp in p["mp"]:
             # 1) issue the exchange first ...
             send_buf = jnp.take(nodes, my_send.reshape(-1), axis=0).reshape(
@@ -482,6 +503,11 @@ def apply_partitioned_banded(
         for lp in p["fc"][:-1]:
             nodes = _dense(lp, nodes, fc_act) + nodes
         nodes = _dense(p["fc"][-1], nodes, fc_act)
+        if training and config.dropout:
+            drng = jax.random.fold_in(jax.random.fold_in(rng, 2), me)
+            keep = 1.0 - config.dropout_rate
+            dmask = jax.random.bernoulli(drng, keep, nodes.shape)
+            nodes = jnp.where(dmask, nodes / keep, 0.0)
         full_peaks = _dense(p["out"], nodes)
         # frozen de-standardization buffers (gnn.apply parity): training
         # through the differentiable partitioned forward must not leak
@@ -494,7 +520,7 @@ def apply_partitioned_banded(
 
     return fwd(
         params, send_idx_g, atoms_g, local_nlist, lo_all, bids_all, hlo_all,
-        edges_g, inv_g,
+        edges_g, inv_g, rng_g,
     )
 
 
@@ -507,6 +533,7 @@ def make_partitioned_train_step(
     axis: str = "graph",
     loss_balance: float = 1.0,
     interpret: bool = False,
+    training: bool = False,
 ):
     """Whole-structure (context-parallel) training step: NameLoss +
     jax.grad through the differentiable partitioned banded forward
@@ -518,23 +545,35 @@ def make_partitioned_train_step(
     across the ``axis`` shards of the mesh. ``y`` is the [N, 3] label
     block (shift, name-index, labeled-flag), ``w`` the [N] sample
     weights, both padded like the graph.
+
+    ``training=True`` enables the reference's Gaussian distance noise
+    and readout dropout (shard-local draws; see
+    apply_partitioned_banded) — the step then takes a per-step ``rng``.
+    The returned step's signature is
+    ``step(params, opt_state, graph, y, w, rng=None, arrays=None)``:
+    ``arrays`` optionally overrides the plan's host exchange arrays with
+    traced values (send_idx, local_nlist, lo, boundary_ids, halo_lo), so
+    trajectory frames whose rebuilt plans share this plan's SHAPES reuse
+    the compilation instead of retracing (the production multi-frame
+    training loop, train/partitioned.py).
     """
     import optax
 
     from ..train.losses import name_loss
     from ..train.trainer import fold_sample_weight
 
-    def loss_fn(params, graph, y, w):
+    def loss_fn(params, graph, y, w, rng, arrays):
         peaks = apply_partitioned_banded(
             params, config, graph, plan, mesh, axis=axis,
             interpret=interpret, differentiable=True,
+            training=training, rng=rng, arrays=arrays,
         )
         yt = fold_sample_weight(y, w)
         return name_loss(yt, peaks, loss_idx, s=loss_balance)
 
     @jax.jit
-    def step(params, opt_state, graph, y, w):
-        loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w)
+    def step(params, opt_state, graph, y, w, rng=None, arrays=None):
+        loss, grads = jax.value_and_grad(loss_fn)(params, graph, y, w, rng, arrays)
         updates, opt_state = tx.update(grads, opt_state, params)
         return optax.apply_updates(params, updates), opt_state, loss
 

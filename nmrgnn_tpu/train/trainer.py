@@ -120,6 +120,61 @@ class TrainState:
         return self.ema_params if self.ema_params is not None else self.params
 
 
+def save_train_checkpoint(path: str, state: TrainState, config) -> None:
+    """Model + optimizer + EMA + schedule metadata (shared by the
+    fragment Trainer and the partitioned whole-structure trainer; the
+    model part is library.load_model-compatible)."""
+    from flax import serialization
+
+    os.makedirs(path, exist_ok=True)
+    save_model(path, state.params, config)
+    with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
+        f.write(serialization.to_bytes(state.opt_state))
+    if state.ema_params is not None:
+        with open(os.path.join(path, "ema.msgpack"), "wb") as f:
+            f.write(serialization.to_bytes(state.ema_params))
+    with open(os.path.join(path, "train_state.pkl"), "wb") as f:
+        pickle.dump(
+            {
+                "epoch": state.epoch,
+                "lr": state.lr,
+                "best_val": state.best_val,
+                "plateau": state.plateau,
+                "history": state.history,
+            },
+            f,
+        )
+
+
+def load_train_checkpoint(path: str, tx, state: TrainState) -> TrainState:
+    """Inverse of save_train_checkpoint; ``state`` supplies the fresh
+    pytree structure to deserialize into."""
+    from flax import serialization
+
+    from ..library import load_model
+
+    params, _ = load_model(path)
+    state.params = params
+    opt_file = os.path.join(path, "opt_state.msgpack")
+    if os.path.exists(opt_file):
+        with open(opt_file, "rb") as f:
+            state.opt_state = serialization.from_bytes(tx.init(params), f.read())
+    ema_file = os.path.join(path, "ema.msgpack")
+    if os.path.exists(ema_file):
+        with open(ema_file, "rb") as f:
+            state.ema_params = serialization.from_bytes(params, f.read())
+    meta_file = os.path.join(path, "train_state.pkl")
+    if os.path.exists(meta_file):
+        with open(meta_file, "rb") as f:
+            meta = pickle.load(f)
+        state.epoch = meta["epoch"]
+        state.lr = meta["lr"]
+        state.best_val = meta["best_val"]
+        state.plateau = meta["plateau"]
+        state.history = meta["history"]
+    return state
+
+
 class Trainer:
     def __init__(
         self,
@@ -325,55 +380,10 @@ class Trainer:
         )
 
     def save_checkpoint(self, path: str, state: TrainState) -> None:
-        from flax import serialization
-
-        os.makedirs(path, exist_ok=True)
-        save_model(path, state.params, self.config)
-        with open(os.path.join(path, "opt_state.msgpack"), "wb") as f:
-            f.write(serialization.to_bytes(state.opt_state))
-        if state.ema_params is not None:
-            with open(os.path.join(path, "ema.msgpack"), "wb") as f:
-                f.write(serialization.to_bytes(state.ema_params))
-        with open(os.path.join(path, "train_state.pkl"), "wb") as f:
-            pickle.dump(
-                {
-                    "epoch": state.epoch,
-                    "lr": state.lr,
-                    "best_val": state.best_val,
-                    "plateau": state.plateau,
-                    "history": state.history,
-                },
-                f,
-            )
+        save_train_checkpoint(path, state, self.config)
 
     def load_checkpoint(self, path: str) -> TrainState:
-        from flax import serialization
-
-        from ..library import load_model
-
-        params, _ = load_model(path)
-        state = self.init_state()
-        state.params = params
-        opt_file = os.path.join(path, "opt_state.msgpack")
-        if os.path.exists(opt_file):
-            with open(opt_file, "rb") as f:
-                state.opt_state = serialization.from_bytes(
-                    self._tx.init(params), f.read()
-                )
-        ema_file = os.path.join(path, "ema.msgpack")
-        if os.path.exists(ema_file):
-            with open(ema_file, "rb") as f:
-                state.ema_params = serialization.from_bytes(params, f.read())
-        meta_file = os.path.join(path, "train_state.pkl")
-        if os.path.exists(meta_file):
-            with open(meta_file, "rb") as f:
-                meta = pickle.load(f)
-            state.epoch = meta["epoch"]
-            state.lr = meta["lr"]
-            state.best_val = meta["best_val"]
-            state.plateau = meta["plateau"]
-            state.history = meta["history"]
-        return state
+        return load_train_checkpoint(path, self._tx, self.init_state())
 
     def _set_lr(self, state: TrainState):
         state.opt_state.hyperparams["learning_rate"] = jnp.asarray(
