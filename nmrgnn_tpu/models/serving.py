@@ -387,13 +387,17 @@ class ServingModel:
             make_halo_plan,
         )
 
+        import hashlib
+
         D = self._n_shards()
         n = g.atoms.shape[0]
         gp = pad_to_multiple(Graph(*[jnp.asarray(a) for a in g]), D * 128)
+        # real digest, not Python hash(): a 64-bit hash collision between
+        # two frame topologies would silently reuse a stale plan
         key = (
             gp.atoms.shape[0],
-            hash(np.asarray(g.nlist).tobytes()),
-            hash((np.asarray(g.edges) > 0).tobytes()),
+            hashlib.blake2b(np.asarray(g.nlist).tobytes(), digest_size=16).digest(),
+            hashlib.blake2b((np.asarray(g.edges) > 0).tobytes(), digest_size=16).digest(),
         )
         if self._part_key != key:
             # banded Pallas serves BOTH MP families (bilinear: shared
@@ -406,7 +410,9 @@ class ServingModel:
                 )
                 banded = self._partitioned_fits_vmem(plan)
             if not banded:
-                plan = make_halo_plan(np.asarray(gp.nlist), D)
+                plan = make_halo_plan(
+                    np.asarray(gp.nlist), D, edges=np.asarray(gp.edges)
+                )
             self._part_plan = (plan, banded)
             self._part_key = key
         plan, banded = self._part_plan
@@ -419,10 +425,12 @@ class ServingModel:
                       plan.boundary_ids, plan.halo_lo)
             jkey = ("part_banded", gp.atoms.shape[0], plan.window,
                     plan.halo_window, plan.block_rows,
-                    plan.num_boundary_tiles, plan.halo.halo_size)
+                    plan.num_boundary_tiles, plan.halo.offsets,
+                    plan.halo.halo_sizes)
         else:
             arrays = (plan.send_idx, plan.local_nlist)
-            jkey = ("part_halo", gp.atoms.shape[0], plan.halo_size)
+            jkey = ("part_halo", gp.atoms.shape[0], plan.offsets,
+                    plan.halo_sizes)
 
         config, mesh, axis = self.config, self.mesh, self.partition_axis
         interpret = self.interpret
@@ -445,7 +453,7 @@ class ServingModel:
                         )
                 self._jit_cache[jkey] = fn
             peaks = fn(
-                self.params, gp, tuple(jnp.asarray(a) for a in arrays)
+                self.params, gp, jax.tree_util.tree_map(jnp.asarray, arrays)
             )
         elif banded:
             peaks = apply_partitioned_banded(

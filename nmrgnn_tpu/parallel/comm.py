@@ -12,11 +12,14 @@ projection against published per-chip compute/ICI bandwidth numbers.
 Model (per MP layer, per shard, D shards, F features, dtype b bytes):
 
   all-gather path   recv (D-1)/D * N * F * b     (parallel/partition.py)
-  halo path         recv D * H * F * b           (parallel/halo.py;
-                    H = max per-pair halo rows, padded buffer — the
-                    actual unique boundary rows are also reported)
+  halo path         recv sum_o H_o * F * b       (parallel/halo.py ring:
+                    one ppermute per kept offset o, H_o = max pair halo
+                    at that offset, padded to the halo multiple — with
+                    RCM order the kept offsets are {+1, -1}, so the
+                    volume is ~2*H*F, independent of D; the actual
+                    unique boundary rows are also reported)
 
-Overlap: apply_partitioned_banded issues the all_to_all before the
+Overlap: apply_partitioned_banded issues the ppermutes before the
 interior banded kernel, so the exchange hides under interior compute
 whenever t_comm <= t_interior; the projection accounts for that.
 """
@@ -44,9 +47,9 @@ class CommReport:
     n_atoms: int
     n_shards: int
     n_features: int
-    halo_rows_padded: int       # D * H (what the all_to_all buffer carries)
+    halo_rows_padded: int       # sum_o H_o (what the ring buffers carry)
     halo_rows_unique: int       # actual distinct boundary rows needed
-    halo_bytes: int             # per layer per shard, padded buffer
+    halo_bytes: int             # per layer per shard, padded buffers
     allgather_bytes: int        # per layer per shard
     ratio: float                # halo / all-gather
 
@@ -58,7 +61,7 @@ def halo_comm_report(
     plan: HaloPlan, n_features: int = 256, dtype_bytes: int = 4
 ) -> CommReport:
     """Exact exchange volumes for a built halo plan."""
-    D, H, m = plan.n_shards, plan.halo_size, plan.rows_per_shard
+    D, m = plan.n_shards, plan.rows_per_shard
     n = D * m
     # distinct boundary rows actually referenced: workspace halo slots
     # (>= m) used by any neighbor list, per requesting shard
@@ -68,13 +71,13 @@ def halo_comm_report(
             for s in range(D)
         )
     )
-    halo_bytes = D * H * n_features * dtype_bytes
+    halo_bytes = plan.halo_rows * n_features * dtype_bytes
     allgather_bytes = (D - 1) * m * n_features * dtype_bytes
     return CommReport(
         n_atoms=n,
         n_shards=D,
         n_features=n_features,
-        halo_rows_padded=D * H,
+        halo_rows_padded=plan.halo_rows,
         halo_rows_unique=uniq,
         halo_bytes=halo_bytes,
         allgather_bytes=allgather_bytes,
@@ -82,13 +85,17 @@ def halo_comm_report(
     )
 
 
-def banded_layer_flops(plan: BandedHaloPlan, n_features: int) -> Dict[str, float]:
+def banded_layer_flops(
+    plan: BandedHaloPlan, n_features: int, n_edge_channels: int = 3
+) -> Dict[str, float]:
     """Per-shard FLOPs of one banded MP layer: interior band over all T
     tiles + compacted halo band over the Tb boundary tiles (window Wh
-    into the received rows)."""
+    into the received rows). ``n_edge_channels`` must match the model
+    family: config.edge_feature_size for the bilinear MPLayer, 1 for the
+    attention family's one-channel bands."""
     T, B, W = plan.num_tiles, plan.block_rows, plan.window
     Tb, Wh = plan.num_boundary_tiles, plan.halo_window
-    E = 3
+    E = n_edge_channels
     interior = 2.0 * T * E * B * W * n_features + 2.0 * T * E * B * n_features**2
     halo = 2.0 * Tb * E * B * Wh * n_features + 2.0 * Tb * E * B * n_features**2
     return {"interior": interior, "halo": halo}
@@ -102,6 +109,7 @@ def project_scaling(
     ici_bytes_per_s: float = V5E_ICI_BYTES_PER_S,
     mp_layers: int = 4,
     overlap: bool = True,
+    n_edge_channels: int = 3,
 ) -> Dict[str, float]:
     """Roofline projection of one partitioned forward's MP stack.
 
@@ -111,7 +119,7 @@ def project_scaling(
     With ``overlap`` the exchange hides under the interior kernel
     (apply_partitioned_banded's issue-then-compute ordering)."""
     rep = halo_comm_report(plan.halo, n_features, dtype_bytes)
-    fl = banded_layer_flops(plan, n_features)
+    fl = banded_layer_flops(plan, n_features, n_edge_channels)
     t_int = fl["interior"] / flops_per_s
     t_halo = fl["halo"] / flops_per_s
     t_comm = rep.halo_bytes / ici_bytes_per_s

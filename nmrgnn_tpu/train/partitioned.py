@@ -74,8 +74,8 @@ class PreparedStructure:
         p = self.plan
         return (
             self.graph.atoms.shape[0], p.window, p.block_rows,
-            p.halo.halo_size, p.halo_window, p.num_boundary_tiles,
-            p.num_tiles,
+            p.halo.offsets, p.halo.halo_sizes, p.halo_window,
+            p.num_boundary_tiles, p.num_tiles,
         )
 
 
@@ -157,7 +157,7 @@ class PartitionedTrainer:
             y=jnp.asarray(y),
             w=jnp.asarray(w),
             plan=plan,
-            arrays=tuple(jnp.asarray(a) for a in arrays),
+            arrays=jax.tree_util.tree_map(jnp.asarray, arrays),
             inverse=inverse,
             n_real=n,
         )

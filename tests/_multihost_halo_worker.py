@@ -61,7 +61,9 @@ def main():
     g, _ = permute_graph(g, order, pin_zero=False)
     g = pad_to_multiple(Graph(*[np.asarray(a) for a in g]), n_shards * 128)
     params = init_params(jax.random.PRNGKey(0), CFG)
-    plan = make_halo_plan(np.asarray(g.nlist), n_shards)
+    plan = make_halo_plan(
+        np.asarray(g.nlist), n_shards, edges=np.asarray(g.edges)
+    )
 
     mesh = Mesh(np.asarray(jax.devices()), ("graph",))
     peaks = apply_partitioned_halo(params, CFG, g, plan, mesh)
@@ -88,7 +90,7 @@ def main():
     max_err_b = float(np.abs(peaks_b_full - want).max())
     out = {
         "process_count": jax.process_count(),
-        "halo_size": int(plan.halo_size),
+        "halo_rows": int(plan.halo_rows),
         "max_err": max_err,
         "max_err_banded": max_err_b,
         "checksum": float(np.abs(peaks_full).sum()),
