@@ -188,6 +188,7 @@ def apply_banded(
     fused_edge: bool = True,
     cheb=None,
     hbm_table: bool = False,
+    fused_first: bool = False,
 ) -> jnp.ndarray:
     """Forward pass (inference mode) with RCM-banded MP (see ops/banded.py).
 
@@ -210,6 +211,34 @@ def apply_banded(
     n = atoms.shape[0]
 
     compute_dtype = jnp.dtype(config.compute_dtype)
+    pad = plan.n_padded - n
+    if (use_pallas and cheb is not None and not hbm_table and fused_first
+            and params["mp"]):
+        # pipelined variant: the Chebyshev band build and MP layer 1
+        # share one kernel with double-buffered band scratch. Measured
+        # on v5e it is latency-NEUTRAL vs the serial kernels (Mosaic
+        # does not co-schedule the VPU build with the MXU matmuls
+        # across the predicated regions), so the serial path stays the
+        # default; kept for future Mosaic scheduler improvements and as
+        # the tested template for wavefront fusion (BENCHMARKS.md).
+        from ..ops.banded import mp_banded_poly_fused
+
+        nodes = _dense(params["embed"], atoms).astype(compute_dtype)
+        nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+        inv_p = jnp.pad(inv_degree, ((0, pad),))
+        M, nodes = mp_banded_poly_fused(
+            nlist, edges, cheb, plan, nodes,
+            params["mp"][0]["w"].astype(compute_dtype), inv_p,
+            config.mp_activation, out_dtype=compute_dtype,
+            interpret=interpret,
+        )
+        for p in params["mp"][1:]:
+            nodes = mp_banded(
+                M, plan, nodes, p["w"].astype(compute_dtype), inv_p,
+                config.mp_activation, interpret=interpret,
+            )
+        nodes = nodes[:n].astype(jnp.float32)
+        return _readout(params, config, atoms, nodes)
     if use_pallas and cheb is not None:
         M = build_band_poly(
             nlist, edges, cheb, plan, out_dtype=compute_dtype, interpret=interpret

@@ -372,6 +372,51 @@ def test_apply_banded_hbm_full_forward():
     np.testing.assert_allclose(got, want, rtol=1e-4, atol=1e-4)
 
 
+def test_mp_banded_poly_fused_matches_unfused():
+    """The pipelined build+layer-1 kernel (build tile t overlapping the
+    matmuls of tile t-1) returns the same band AND the same layer-1
+    nodes as build_band_poly followed by mp_banded."""
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.ops.banded import (
+        build_band_poly,
+        mp_banded,
+        mp_banded_poly_fused,
+    )
+    from nmrgnn_tpu.ops.edgefn import fit_edge_chebyshev
+
+    cfg = ModelConfig()
+    rng = np.random.default_rng(11)
+    n, k, f = 384, 16, 128
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-40, 40, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.3, (n, k)).astype(np.float32)
+    dists[:, -2:] = 0.0
+    plan = band_plan(nlist, dists)
+    params = init_params(jax.random.PRNGKey(3), cfg.replace(atom_feature_size=f))
+    cheb = fit_edge_chebyshev(
+        params["edge_fc"], rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+        rbf_count=cfg.edge_hidden_size, activation=cfg.fc_activation,
+        degree=48,
+    )
+    nodes = jnp.asarray(rng.normal(size=(plan.n_padded, f)).astype(np.float32))
+    w = params["mp"][0]["w"]
+    inv = jnp.asarray(rng.uniform(0, 1, plan.n_padded).astype(np.float32))
+
+    nlist_j, dists_j = jnp.asarray(nlist), jnp.asarray(dists)
+    M_want = np.asarray(build_band_poly(nlist_j, dists_j, cheb, plan, interpret=True))
+    nodes_want = np.asarray(
+        mp_banded(jnp.asarray(M_want), plan, nodes, w, inv, interpret=True)
+    )
+    M_got, nodes_got = mp_banded_poly_fused(
+        nlist_j, dists_j, cheb, plan, nodes, w, inv, interpret=True
+    )
+    np.testing.assert_allclose(np.asarray(M_got), M_want, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(nodes_got), nodes_want, rtol=1e-4, atol=1e-4
+    )
+
+
 def test_apply_banded_fast_config_close_to_exact():
     """The serving fast configuration (Chebyshev edge stage + bf16
     compute) must track the exact f32 forward tightly (ServingModel
