@@ -23,7 +23,15 @@ def main():
     base = open(REPO_ACC).read().split("\n## Replication")[0].rstrip()
     tables = [parse(REPO_ACC)] + [parse(p) for p in seed_files]
     n = len(tables)
-    keys = sorted(tables[0])
+    # a metric can be absent from a seed's table (accuracy.py writes an
+    # empty cell when one stack's CSV lacks it); average over the keys
+    # present in EVERY seed and warn about the rest
+    keys = sorted(set.intersection(*[set(t) for t in tables]))
+    dropped = sorted(set.union(*[set(t) for t in tables]) - set(keys))
+    if dropped:
+        print(f"warning: metrics missing from some seed(s), skipped: {dropped}")
+    if not keys:
+        raise SystemExit("no metric present in every seed table")
     lines = [
         base,
         "",
@@ -37,6 +45,7 @@ def main():
         "|---|---|---|---|",
     ]
     wins = 0
+    losers = []
     spans = {}
     for k in keys:
         ours = [t[k][0] for t in tables]
@@ -44,22 +53,31 @@ def main():
         om, rm = sum(ours) / n, sum(ref) / n
         win = (om < rm) if k.endswith("rmsd") else (om > rm)
         wins += win
+        if not win:
+            losers.append(k)
         spans[k] = (min(ours), max(ours), min(ref), max(ref))
         lines.append(
             f"| {k} | {om:.4f} | {rm:.4f} | {'ours' if win else 'reference'} |"
         )
-    o0, o1, r0, r1 = spans["P-N-rmsd"]
     lines += [
         "",
-        f"Ours leads {wins} of {len(keys)} rows on the {n}-seed mean (the",
-        "exceptions are the P-X rows: the 'X' bucket of atoms whose names",
-        "fall outside the vocabulary — near-perfect correlation in both",
-        "stacks, small-N calibration noise in the rmsd). Run-to-run",
-        "variance is also markedly smaller for our recipe: P-N-rmsd spans",
-        f"{o0:.1f}-{o1:.1f} across seeds for ours vs {r0:.1f}-{r1:.1f} for the",
-        "reference — parameter EMA and best-validation restore stabilize",
-        "what the reference's plateau schedule leaves to chance.",
+        f"Ours leads {wins} of {len(keys)} rows on the {n}-seed mean"
+        + (
+            f" (the exceptions: {', '.join(losers)} — see the root-cause "
+            "note below)."
+            if losers
+            else "."
+        ),
     ]
+    if "P-N-rmsd" in spans:
+        o0, o1, r0, r1 = spans["P-N-rmsd"]
+        lines += [
+            "Run-to-run variance is also markedly smaller for our recipe:",
+            f"P-N-rmsd spans {o0:.1f}-{o1:.1f} across seeds for ours vs "
+            f"{r0:.1f}-{r1:.1f} for the",
+            "reference — parameter EMA and best-validation restore stabilize",
+            "what the reference's plateau schedule leaves to chance.",
+        ]
     with open(REPO_ACC, "w") as f:
         f.write("\n".join(lines) + "\n")
     print(f"wrote {REPO_ACC}: ours wins {wins}/{len(keys)} on the {n}-seed mean")

@@ -355,6 +355,21 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
                 f"--graph-parallel {graph_parallel} exceeds the "
                 f"{n_dev} visible device(s)"
             )
+        if n_dev % graph_parallel:
+            used = (n_dev // graph_parallel) * graph_parallel
+            click.echo(
+                f"note: {n_dev} devices not divisible by "
+                f"--graph-parallel {graph_parallel}; using {used}",
+                err=True,
+            )
+        if fast:
+            click.echo(
+                "note: --fast is ignored with --graph-parallel (the "
+                "partitioned banded forward is its own path); "
+                "--precision fast still applies bf16 arithmetic there, "
+                "but not the Chebyshev edge stage",
+                err=True,
+            )
         mesh = make_mesh(
             data=n_dev // graph_parallel, graph=graph_parallel
         )

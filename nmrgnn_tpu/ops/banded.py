@@ -176,6 +176,31 @@ def plan_fits_vmem(
     return nodes + band_tile + w + scratch < budget_bytes
 
 
+def hbm_plan_fits_vmem(
+    plan: BandPlan,
+    n_features: int,
+    n_edge_channels: int = 3,
+    dtype_bytes: int = 4,
+    budget_bytes: int = 12 * 1024 * 1024,
+) -> bool:
+    """Whether mp_banded_hbm's PER-TILE working set fits VMEM: the node
+    table stays in HBM, but each step holds double-buffered [W, F]
+    windows and [B, F] residual rows (scratch), the double-buffered
+    [E, B, W] band tile (Mosaic input pipeline), the [E, F, F] weights
+    and the [B, F] output tile. Replaces the old _HBM_MAX_WINDOW = 4096
+    constant, which was only valid for bf16 at F = 256 (f32 at the same
+    shapes busts the budget near W ~ 2.2k — unsafe in the wrong
+    direction for wider configs)."""
+    B, W = plan.block_rows, plan.window
+    F, E, b = n_features, n_edge_channels, dtype_bytes
+    win = 2 * W * F * b
+    res = 2 * B * F * b
+    band = 2 * E * B * W * b
+    weights = E * F * F * b
+    out = 2 * B * F * b
+    return win + res + band + weights + out < budget_bytes
+
+
 def fused_build_fits(
     plan: BandPlan,
     edge_hidden: int,

@@ -345,3 +345,27 @@ def test_attention_partitioned_grads_match_single_device(graph_rcm):
         )
         checked += 1
     assert checked >= 10  # embed + edge_fc + wq/wk/wv + fc + out
+
+
+def test_overlap_schedule_evidenced_in_tpu_hlo():
+    """The scaling projection's core assumption — the ring ppermutes
+    hide under the interior Pallas kernel — is checked against the
+    COMPILED v5e artifact: benchmarks/check_overlap_hlo.py AOT-compiles
+    the partitioned forward for a v5e:2x4 topology and asserts every
+    collective-permute start/done pair sandwiches an interior
+    tpu_custom_call. Skips where topology compilation is unavailable."""
+    import os
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env.pop("JAX_PLATFORMS", None)  # topology AOT needs the TPU plugin
+    r = subprocess.run(
+        [sys.executable, "/root/repo/benchmarks/check_overlap_hlo.py"],
+        capture_output=True, text=True, timeout=540, env=env,
+        cwd="/root/repo",
+    )
+    if r.returncode == 2:
+        pytest.skip(f"TPU topology compilation unavailable: {r.stdout}")
+    assert r.returncode == 0, r.stdout + r.stderr
+    assert "0/" not in r.stdout.split("pairs")[0]
