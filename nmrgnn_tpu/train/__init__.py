@@ -7,9 +7,11 @@ from .metrics import (
     name_rmsd,
     type_mask,
 )
+from .partitioned import PartitionedTrainer
 from .trainer import TrainState, Trainer
 
 __all__ = [
+    "PartitionedTrainer",
     "corr_coeff",
     "label_mask",
     "name_loss",
