@@ -391,3 +391,41 @@ def test_scaling_projection_edge_channels(graph_rcm):
     # same exchange volume, one third the compute: the attention family
     # is MORE comm-bound, so its projected efficiency cannot be higher
     assert p1["efficiency"] <= p3["efficiency"] + 1e-9
+
+
+def test_partitioned_trainer_attention_family():
+    """The whole-structure trainer serves the AMPLayer family too: the
+    per-layer one-channel attention bands run partitioned with
+    noise/dropout training, and the loss goes down."""
+    from nmrgnn_tpu.config import TrainConfig
+    from nmrgnn_tpu.data.dataset import Sample
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+    from nmrgnn_tpu.train.partitioned import PartitionedTrainer
+
+    cfg = CFG.replace(mp_type="attention", noise=0.01, dropout=True,
+                      learning_rate=3e-3)
+    rng = np.random.default_rng(5)
+    n, k = 296, 8
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-25, 25, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    edges = rng.uniform(0.02, 0.19, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist=nlist, edges=edges,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    y = np.stack(
+        [rng.normal(size=n).astype(np.float32) * 3,
+         rng.integers(0, 6, n).astype(np.float32),
+         np.ones(n, np.float32)], axis=-1,
+    )
+    sample = Sample(graph=g, y=y, w=np.ones(n, np.float32))
+    mesh = make_mesh(data=2, graph=4)
+    tr = PartitionedTrainer(
+        cfg, TrainConfig(epochs=4, seed=0), mesh=mesh, interpret=True
+    )
+    state = tr.fit([sample], [sample], verbose=False)
+    losses = state.history["loss"]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
