@@ -266,6 +266,11 @@ class PartitionedTrainer:
         rng = jax.random.PRNGKey(self.tcfg.seed + 1)
         shuffle_rng = np.random.default_rng(self.tcfg.seed)
         total_epochs = state.epoch + epochs
+        decay = self.tcfg.ema_decay
+        if decay > 0 and state.ema_params is None:
+            state.ema_params = jax.tree_util.tree_map(jnp.array, state.params)
+        best_restore = float("inf")
+        best_weights = None
         for _ in range(epochs):
             if self.tcfg.lr_schedule == "cosine":
                 peak = self.config.learning_rate
@@ -286,6 +291,11 @@ class PartitionedTrainer:
                     state.params, state.opt_state, prep.graph, prep.y,
                     prep.w, srng, prep.arrays,
                 )
+                if decay > 0:
+                    state.ema_params = jax.tree_util.tree_map(
+                        lambda e, p: decay * e + (1.0 - decay) * p,
+                        state.ema_params, state.params,
+                    )
                 epoch_loss += float(loss)
                 nb += 1
             if not np.isfinite(epoch_loss):
@@ -295,7 +305,7 @@ class PartitionedTrainer:
             state.epoch += 1
             logs = {"loss": epoch_loss / max(nb, 1), "lr": state.lr}
             if val_samples:
-                val = self.evaluate(val_samples, state.params)
+                val = self.evaluate(val_samples, state.eval_params)
                 logs.update({f"val_{k}": v for k, v in val.items()})
                 if self.tcfg.lr_schedule == "plateau":
                     if logs["val_loss"] < state.best_val - 1e-12:
@@ -310,6 +320,11 @@ class PartitionedTrainer:
                                     self.tcfg.min_lr,
                                 )
                             state.plateau = 0
+                if self.tcfg.restore_best and logs["val_loss"] < best_restore:
+                    best_restore = logs["val_loss"]
+                    best_weights = jax.tree_util.tree_map(
+                        jnp.array, state.eval_params
+                    )
             for k, v in logs.items():
                 state.history.setdefault(k, []).append(v)
             if verbose:
@@ -322,4 +337,11 @@ class PartitionedTrainer:
                 self.save_checkpoint(checkpoint_path, state)
             for cb in callbacks:
                 cb(state, logs)
+        if best_weights is not None:
+            # hand back the best-validation weights (through the EMA slot
+            # when EMA is on, mirroring Trainer.fit)
+            if state.ema_params is not None:
+                state.ema_params = best_weights
+            else:
+                state.params = best_weights
         return state

@@ -146,3 +146,32 @@ class TestGraph:
         inv = np.asarray(g.inv_degree)
         assert np.all(inv > 0) and np.all(inv <= 1.0)
         assert np.isclose(np.median(inv), 1 / 16, atol=0.01)
+
+
+def test_write_structure_records_with_shift_csv(tmp_path):
+    """Whole-structure records carry real labels from a shifts array:
+    atoms absent from the table (NaN) train unlabeled (label_weight 0),
+    present ones carry their shift."""
+    from nmrgnn_tpu.data.dataset import read_fragments
+    from nmrgnn_tpu.data.fragment import name_index_for, write_structure_records
+    from nmrgnn_tpu.data.pdb import read_structure
+
+    struct = read_structure("/root/reference/tests/108M.pdb")
+    n = struct.n_atoms
+    shifts = np.full((1, n), np.nan, np.float32)
+    shifts[0, :100] = np.linspace(1.0, 9.0, 100)
+    path = str(tmp_path / "s.tfr")
+    count = write_structure_records(path, struct, frames=range(1), shifts=shifts)
+    assert count == 1
+    (sample,) = list(read_fragments(path))
+    assert sample.n == n
+    name_idx = name_index_for(struct)
+    labeled = sample.y[:, 2] > 0
+    # only the first 100 atoms AND in-vocab names are labeled
+    assert labeled[100:].sum() == 0
+    assert (labeled[:100] == (name_idx[:100] > 0)).all()
+    np.testing.assert_allclose(
+        sample.y[:100, 0], np.linspace(1.0, 9.0, 100), rtol=1e-6
+    )
+    # unlabeled atoms carry zero shift, not NaN
+    assert np.isfinite(sample.y[:, 0]).all()

@@ -429,3 +429,48 @@ def test_partitioned_trainer_attention_family():
     losses = state.history["loss"]
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0], losses
+
+
+def test_partitioned_trainer_ema_and_restore_best():
+    """TrainConfig.ema_decay / restore_best work for whole-structure
+    training like they do for the fragment Trainer."""
+    from nmrgnn_tpu.config import TrainConfig
+    from nmrgnn_tpu.data.dataset import Sample
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+    from nmrgnn_tpu.train.partitioned import PartitionedTrainer
+
+    rng = np.random.default_rng(6)
+    n, k = 296, 8
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-25, 25, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    edges = rng.uniform(0.02, 0.19, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist=nlist, edges=edges,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    y = np.stack(
+        [rng.normal(size=n).astype(np.float32) * 3,
+         rng.integers(0, 6, n).astype(np.float32),
+         np.ones(n, np.float32)], axis=-1,
+    )
+    sample = Sample(graph=g, y=y, w=np.ones(n, np.float32))
+    mesh = make_mesh(data=2, graph=4)
+    tr = PartitionedTrainer(
+        CFG.replace(learning_rate=3e-3),
+        TrainConfig(epochs=3, seed=0, ema_decay=0.9, restore_best=True),
+        mesh=mesh, interpret=True,
+    )
+    best_by_epoch = []
+    state = tr.fit(
+        [sample], [sample], verbose=False,
+        callbacks=[lambda st, logs: best_by_epoch.append(logs["val_loss"])],
+    )
+    assert state.ema_params is not None
+    raw = np.asarray(state.params["out"]["kernel"])
+    # restore_best replaced the EMA slot with the best-val weights
+    assert state.eval_params is state.ema_params
+    assert not np.allclose(raw, np.asarray(state.ema_params["out"]["kernel"]))
+    out = tr.evaluate([sample], state.eval_params)
+    assert out["loss"] == pytest.approx(min(best_by_epoch), rel=1e-4)
