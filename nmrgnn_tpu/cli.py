@@ -506,6 +506,14 @@ def make_struct_records(struct_files, output_tfrecord, neighbor_number, frames,
     from .data.fragment import write_structure_records
     from .data.pdb import read_structure
 
+    if shifts_csv and len(struct_files) > 1:
+        # the CSV indexes atoms of ONE structure; applying it to every
+        # file would silently mislabel all but the first
+        raise click.UsageError(
+            "--shifts labels a single structure; run make-struct-records "
+            "once per structure (append by reusing the output path is "
+            "not supported with --shifts)"
+        )
     total = 0
     append = False
     for sf in struct_files:

@@ -467,21 +467,11 @@ def apply_banded_fragments(
         )
 
     nodes = nodes.reshape(B, N, -1)
-    fc_act = get_activation(config.fc_activation)
-    compute_dtype = jnp.dtype(config.compute_dtype)
-    for p in params["fc"][:-1]:
-        nodes = _dense(p, nodes, fc_act, compute_dtype=compute_dtype) + nodes
-    nodes = _dense(params["fc"][-1], nodes, fc_act, compute_dtype=compute_dtype)
     if drngs is not None:
-        keep = 1.0 - config.dropout_rate
-        mask = jax.vmap(
-            lambda r: jax.random.bernoulli(r, keep, nodes.shape[1:])
-        )(drngs)
-        nodes = jnp.where(mask, nodes / keep, 0.0)
-    full_peaks = _dense(params["out"], nodes, compute_dtype=compute_dtype)
-    peak_std = jax.lax.stop_gradient(params["peak_std"])
-    peak_avg = jax.lax.stop_gradient(params["peak_avg"])
-    return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)
+        return jax.vmap(
+            lambda a, nd, r: _readout(params, config, a, nd, dropout_rng=r)
+        )(atoms, nodes, drngs)
+    return _readout(params, config, atoms, nodes)
 
 
 def apply_banded_trainable(
@@ -529,16 +519,7 @@ def apply_banded_trainable(
         )
 
     nodes = nodes[:n]
-    fc_act = get_activation(config.fc_activation)
-    for p in params["fc"][:-1]:
-        nodes = _dense(p, nodes, fc_act) + nodes
-    nodes = _dense(params["fc"][-1], nodes, fc_act)
+    drng = None
     if training and config.dropout:
         rng, drng = jax.random.split(rng)
-        keep = 1.0 - config.dropout_rate
-        mask = jax.random.bernoulli(drng, keep, nodes.shape)
-        nodes = jnp.where(mask, nodes / keep, 0.0)
-    full_peaks = _dense(params["out"], nodes)
-    peak_std = jax.lax.stop_gradient(params["peak_std"])
-    peak_avg = jax.lax.stop_gradient(params["peak_avg"])
-    return jnp.sum(full_peaks * atoms * peak_std + atoms * peak_avg, axis=-1)
+    return _readout(params, config, atoms, nodes, dropout_rng=drng)

@@ -122,11 +122,14 @@ class PartitionedTrainer:
     # -- structure preparation --------------------------------------------
     def prepare(self, sample: Sample) -> PreparedStructure:
         """RCM-order, pad to shards * block_rows, permute labels with the
-        atoms, build the banded halo plan."""
+        atoms, build the banded halo plan. Cached per Sample object —
+        the cache RETAINS the sample (an id() key alone could alias a
+        recycled id to a stale plan) and is bounded so long trajectories
+        don't pin every frame's device arrays."""
         key = id(sample)
         hit = self._prepared.get(key)
         if hit is not None:
-            return hit
+            return hit[1]
         g = sample.graph
         order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
         # pin_zero=False: the banded kernels mask by edge distance, and
@@ -161,7 +164,9 @@ class PartitionedTrainer:
             inverse=inverse,
             n_real=n,
         )
-        self._prepared[key] = prep
+        if len(self._prepared) >= 64:  # bound memory over long trajectories
+            self._prepared.pop(next(iter(self._prepared)))
+        self._prepared[key] = (sample, prep)
         return prep
 
     # -- compiled steps ----------------------------------------------------
@@ -260,6 +265,7 @@ class PartitionedTrainer:
         checkpoint_path: Optional[str] = None,
         verbose: bool = True,
         callbacks: Sequence = (),
+        early_stop_patience: Optional[int] = None,
     ) -> TrainState:
         epochs = epochs or self.tcfg.epochs
         state = state or self.init_state()
@@ -271,6 +277,10 @@ class PartitionedTrainer:
             state.ema_params = jax.tree_util.tree_map(jnp.array, state.params)
         best_restore = float("inf")
         best_weights = None
+        snapshot = None  # NaN recovery, mirroring Trainer.fit
+        nan_retries = 0
+        stall = 0
+        best_seen = float("inf")
         for _ in range(epochs):
             if self.tcfg.lr_schedule == "cosine":
                 peak = self.config.learning_rate
@@ -299,9 +309,25 @@ class PartitionedTrainer:
                 epoch_loss += float(loss)
                 nb += 1
             if not np.isfinite(epoch_loss):
-                raise FloatingPointError(
-                    f"non-finite training loss at epoch {state.epoch + 1}"
+                if snapshot is None or nan_retries >= 3:
+                    raise FloatingPointError(
+                        f"non-finite training loss at epoch {state.epoch + 1}"
+                    )
+                nan_retries += 1
+                state.params, state.opt_state, state.ema_params = (
+                    jax.tree_util.tree_map(jnp.array, snapshot)
                 )
+                state.lr = max(state.lr * 0.5, self.tcfg.min_lr)
+                if verbose:
+                    print(
+                        f"non-finite loss; restored last epoch snapshot, "
+                        f"lr -> {state.lr:g} (retry {nan_retries}/3)",
+                        flush=True,
+                    )
+                continue
+            snapshot = jax.tree_util.tree_map(
+                jnp.array, (state.params, state.opt_state, state.ema_params)
+            )
             state.epoch += 1
             logs = {"loss": epoch_loss / max(nb, 1), "lr": state.lr}
             if val_samples:
@@ -337,6 +363,20 @@ class PartitionedTrainer:
                 self.save_checkpoint(checkpoint_path, state)
             for cb in callbacks:
                 cb(state, logs)
+            if early_stop_patience and "val_loss" in logs:
+                if logs["val_loss"] < best_seen - 1e-12:
+                    best_seen = logs["val_loss"]
+                    stall = 0
+                else:
+                    stall += 1
+                    if stall >= early_stop_patience:
+                        if verbose:
+                            print(
+                                f"early stop: no val improvement in "
+                                f"{early_stop_patience} epochs",
+                                flush=True,
+                            )
+                        break
         if best_weights is not None:
             # hand back the best-validation weights (through the EMA slot
             # when EMA is on, mirroring Trainer.fit)

@@ -432,11 +432,12 @@ class Trainer:
         """Stage the padded fragment set into device memory ONCE (S is
         padded to a batch multiple with zero-weight duplicates so every
         epoch is full batches). Rebuilt only when the sample list
-        changes."""
+        changes; the cache RETAINS the list so an id() key can never
+        alias a recycled id to stale device tables."""
         key = (id(samples), len(samples))
         hit = self._resident.get(key)
         if hit is not None:
-            return hit
+            return hit[1]
         from ..data.dataset import pad_sample
 
         bs = self.tcfg.batch_size
@@ -469,8 +470,8 @@ class Trainer:
             ws = jax.device_put(ws, rep)
         if len(self._resident) >= 4:  # bound HBM held by stale tables
             self._resident.pop(next(iter(self._resident)))
-        self._resident[key] = (graphs, ys, ws)
-        return self._resident[key]
+        self._resident[key] = (samples, (graphs, ys, ws))
+        return self._resident[key][1]
 
     # -- state / checkpoint ------------------------------------------------
     def init_state(self, rng: Optional[jax.Array] = None) -> TrainState:
