@@ -126,7 +126,25 @@ def main():
 
             row(f"banded fast (W={plan.window})", t_of(banded, n))
         else:
-            # node table exceeds VMEM: the HBM-table kernel takes over
+            # node table exceeds VMEM: the HBM-table kernel takes over,
+            # class-bucketed when the window-need distribution is skewed
+            # (serving's selection; ops/banded.band_plan_classes)
+            from nmrgnn_tpu.models.infer import apply_banded_hbm_classes
+            from nmrgnn_tpu.ops.banded import band_plan_classes
+
+            cls_plan = band_plan_classes(
+                np.asarray(gr.nlist), np.asarray(gr.edges)
+            )
+            if len(cls_plan.classes) > 1:
+                def banded_cls(c):
+                    g2 = grj._replace(edges=grj.edges + c[:, None] * 1e-30)
+                    return apply_banded_hbm_classes(
+                        params, cfg16, g2, cls_plan, cheb
+                    )
+
+                ws = "/".join(str(cc.window) for cc in cls_plan.classes)
+                row(f"banded HBM class-bucketed (W={ws})", t_of(banded_cls, n))
+
             def banded_hbm(c):
                 g2 = grj._replace(edges=grj.edges + c[:, None] * 1e-30)
                 return apply_banded(

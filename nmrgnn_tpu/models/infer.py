@@ -280,6 +280,83 @@ def apply_banded(
     return _readout(params, config, atoms, nodes)
 
 
+def apply_banded_hbm_classes(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    cls_plan,                # ops.banded.BandClassPlan
+    cheb,                    # ops.edgefn.EdgeCheb
+    arrays=None,             # traced (ids, lo) pairs overriding the plan's
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """HBM-node-table forward with CLASS-BUCKETED band windows: tiles
+    grouped by actual window need (ops/banded.band_plan_classes) so
+    narrow tiles stop paying the widest tile's band — on skewed
+    large-structure distributions this cuts the band's HBM footprint,
+    build work and matmul FLOPs by ~1/3 (BENCHMARKS.md). Numerics match
+    apply_banded(hbm_table=True). Serving's large-graph fast path.
+
+    ``arrays``: optional tuple of per-class (ids, lo) traced arrays so a
+    rebuilt same-shape plan (trajectory frames) reuses the compilation.
+    """
+    from ..ops.banded import build_band_poly_cls, mp_banded_hbm_cls
+
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    B = cls_plan.block_rows
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    if arrays is None:
+        arrays = tuple((None, None) for _ in cls_plan.classes)
+
+    Ms = [
+        build_band_poly_cls(
+            nlist, edges, cheb, c, B, cls_plan.n_padded,
+            ids=ids, lo=lo, out_dtype=compute_dtype, interpret=interpret,
+        )
+        for c, (ids, lo) in zip(cls_plan.classes, arrays)
+    ]
+
+    pad = cls_plan.n_padded - n
+    nodes = _dense(params["embed"], atoms).astype(compute_dtype)
+    nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+    inv_p = jnp.pad(inv_degree, ((0, pad),))
+    # per-class reassembly: contiguous tile-id RUNS become static
+    # dynamic_update_slice copies (in-place-able DMA; a row scatter here
+    # measured ~25% of the whole forward). With traced ids overrides the
+    # general scatter is used instead (shape-reuse path).
+    def combine(new_nodes, c, ids, out_c):
+        if ids is None:
+            cid = np.asarray(c.ids)
+            run_starts = np.nonzero(
+                np.diff(cid, prepend=cid[0] - 2) != 1
+            )[0]
+            run_ends = np.append(run_starts[1:], len(cid))
+            for a, b in zip(run_starts, run_ends):
+                blk = jax.lax.dynamic_slice(
+                    out_c, (int(a) * B, 0), (int(b - a) * B, out_c.shape[-1])
+                )
+                new_nodes = jax.lax.dynamic_update_slice(
+                    new_nodes, blk, (int(cid[a]) * B, 0)
+                )
+            return new_nodes
+        rows = (ids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+        return new_nodes.at[rows].set(out_c)
+
+    for p in params["mp"]:
+        w = p["w"].astype(compute_dtype)
+        new_nodes = nodes
+        for c, (ids, lo), M in zip(cls_plan.classes, arrays, Ms):
+            out_c = mp_banded_hbm_cls(
+                M, c, B, nodes, w, inv_p, config.mp_activation,
+                ids=ids, lo=lo, interpret=interpret,
+            )
+            new_nodes = combine(new_nodes, c, ids, out_c)
+        nodes = new_nodes
+
+    nodes = nodes[:n].astype(jnp.float32)
+    return _readout(params, config, atoms, nodes)
+
+
 def apply_banded_attention(
     params,
     config: ModelConfig,

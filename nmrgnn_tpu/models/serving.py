@@ -120,6 +120,7 @@ class ServingModel:
         self._resolved: Optional[str] = None
         self._plan = None
         self._frames_plan = None  # union plan for batched predict_frames
+        self._cls_plan = None     # class-bucketed plan (HBM fast path)
         self._struct = None
         self._jit_cache = {}
         self.mesh = mesh
@@ -253,6 +254,65 @@ class ServingModel:
                 plan = band_plan(g.nlist, g.edges, block_rows=self.block_size)
             self._plan = plan
         return self._plan
+
+    def _banded_cls_plan(self, g: Graph):
+        """Class-bucketed band plan for the HBM fast path (tiles grouped
+        by actual window need — ops/banded.band_plan_classes): cached
+        with frame verify-and-reuse; None when any class's per-tile
+        working set escapes the VMEM budget."""
+        from ..ops.banded import (
+            BandPlan,
+            band_plan_classes,
+            class_plan_covers,
+            hbm_plan_fits_vmem,
+        )
+
+        if self._cls_plan is not None and class_plan_covers(
+            self._cls_plan, g.nlist, g.edges
+        ):
+            return self._cls_plan
+        cls_plan = band_plan_classes(
+            g.nlist, g.edges, block_rows=self.block_size
+        )
+        cfg = self.config
+        b = np.dtype(cfg.compute_dtype).itemsize
+        for c in cls_plan.classes:
+            probe = BandPlan(
+                lo=c.lo, window=c.window, block_rows=cls_plan.block_rows,
+                n_padded=cls_plan.n_padded,
+            )
+            if not hbm_plan_fits_vmem(
+                probe, cfg.atom_feature_size, cfg.edge_feature_size,
+                dtype_bytes=b,
+            ):
+                return None
+        self._cls_plan = cls_plan
+        return cls_plan
+
+    def _banded_hbm_cls_fwd(self, cls_plan):
+        key = (
+            "banded_hbm_cls", cls_plan.n_padded, cls_plan.block_rows,
+            tuple((len(c.ids), c.window) for c in cls_plan.classes),
+        )
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from .infer import apply_banded_hbm_classes
+
+            config = self.config
+            cheb = self._edge_cheb()
+            interpret = self.interpret
+
+            @jax.jit
+            def fn(params, graph, arrays):
+                # ids/lo ride as runtime arrays so rebuilt same-shape
+                # class plans reuse this compilation
+                return apply_banded_hbm_classes(
+                    params, config, graph, cls_plan, cheb, arrays=arrays,
+                    interpret=interpret,
+                )
+
+            self._jit_cache[key] = fn
+        return fn
 
     def _block_struct(self, g: Graph):
         if self._struct is not None:
@@ -502,6 +562,20 @@ class ServingModel:
                 peaks = self._banded_attn_fwd(plan)(
                     self.params, gj, jnp.asarray(plan.lo)
                 )
+            elif mode == "banded_hbm" and self.precision == "fast":
+                cls_plan = self._banded_cls_plan(g)
+                if cls_plan is not None and len(cls_plan.classes) > 1:
+                    arrays = tuple(
+                        (jnp.asarray(c.ids), jnp.asarray(c.lo))
+                        for c in cls_plan.classes
+                    )
+                    peaks = self._banded_hbm_cls_fwd(cls_plan)(
+                        self.params, gj, arrays
+                    )
+                else:
+                    peaks = self._banded_fwd(plan, hbm=True)(
+                        self.params, gj, jnp.asarray(plan.lo)
+                    )
             else:
                 peaks = self._banded_fwd(plan, hbm=mode == "banded_hbm")(
                     self.params, gj, jnp.asarray(plan.lo)

@@ -31,7 +31,7 @@ slots carry e == 0 so they contribute 0 wherever their nlist points.
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -141,6 +141,114 @@ def band_plan_frames(
     lo = np.minimum(lo, max(n_pad - w, 0))
     return BandPlan(
         lo=lo.astype(np.int32), window=w, block_rows=block_rows, n_padded=n_pad
+    )
+
+
+class BandClass(NamedTuple):
+    """One window-width class of row tiles (see band_plan_classes)."""
+
+    ids: np.ndarray   # i32[Tc] global tile indices of this class
+    lo: np.ndarray    # i32[Tc] window starts (pre-gathered per class)
+    window: int       # Wc
+
+
+class BandClassPlan(NamedTuple):
+    """Tiles bucketed into <= max_classes window widths.
+
+    A single global window (BandPlan) pays the WIDEST tile's band for
+    every tile; on large RCM-ordered structures the need distribution is
+    heavily skewed (44.7k supercell: 318/350 tiles fit 896 lanes but 32
+    force W=1280), so bucketing cuts both the VPU build work and the
+    band's HBM footprint/matmul FLOPs by the skew (~36% measured there).
+    Each class runs the band kernels over just its tiles via scalar-
+    prefetch tile-id indirection; per-layer outputs scatter back into
+    the node table (contiguous row blocks — XLA elides the copy)."""
+
+    classes: tuple        # of BandClass, ascending window
+    block_rows: int
+    n_padded: int
+
+    @property
+    def num_tiles(self) -> int:
+        return self.n_padded // self.block_rows
+
+
+def band_plan_classes(
+    nlist: np.ndarray,
+    edges: np.ndarray,
+    block_rows: int = 128,
+    align: int = 128,
+    max_classes: int = 3,
+    w_buckets=(256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 2048, 3072, 4096),
+) -> BandClassPlan:
+    """Bucket row tiles into up to ``max_classes`` window widths chosen
+    from ``w_buckets`` to (greedily) minimize total band lanes."""
+    nlist = np.asarray(nlist)
+    edges = np.asarray(edges)
+    n = nlist.shape[0]
+    n_pad = _round_up(max(n, block_rows), block_rows)
+    t = n_pad // block_rows
+    lo = np.zeros(t, np.int64)
+    need = np.zeros(t, np.int64)
+    for i in range(t):
+        sel = slice(i * block_rows, min((i + 1) * block_rows, n))
+        real = edges[sel] > 0
+        if not real.any():
+            need[i] = 1
+            continue
+        idx = nlist[sel][real]
+        lo_i = (int(idx.min()) // align) * align
+        lo[i] = lo_i
+        need[i] = int(idx.max()) - lo_i + 1
+
+    def bucket(w):
+        for b in w_buckets:
+            if w <= b:
+                return b
+        return _round_up(int(w), 512)
+
+    w_max = min(bucket(int(need.max())), max(n_pad, 128))
+    # candidate class boundaries: bucket widths <= w_max; greedy pick of
+    # the (max_classes - 1) interior boundaries minimizing sum of lanes
+    cands = [b for b in w_buckets if 128 <= b < w_max]
+    best = (float("inf"), [w_max])
+
+    def lanes(bounds):
+        total = 0
+        for nd in need:
+            for b in bounds:
+                if nd <= b:
+                    total += b
+                    break
+        return total
+
+    import itertools
+
+    for k in range(0, max_classes):
+        for combo in itertools.combinations(cands, k):
+            bounds = sorted(combo) + [w_max]
+            tl = lanes(bounds)
+            if tl < best[0]:
+                best = (tl, bounds)
+    bounds = best[1]
+    classes = []
+    assigned = np.full(t, -1)
+    for ci, b in enumerate(bounds):
+        pick = (assigned < 0) & (need <= b)
+        assigned[pick] = ci
+        ids = np.nonzero(pick)[0]
+        if len(ids) == 0:
+            continue
+        lo_c = np.minimum(lo[ids], np.maximum(n_pad - b, 0))
+        classes.append(
+            BandClass(
+                ids=ids.astype(np.int32),
+                lo=lo_c.astype(np.int32),
+                window=int(min(b, max(n_pad, 128))),
+            )
+        )
+    return BandClassPlan(
+        classes=tuple(classes), block_rows=block_rows, n_padded=n_pad
     )
 
 
@@ -1299,6 +1407,216 @@ def min_tile(a, b):
 
 def max_tile(a, b):
     return jnp.maximum(a, b) if hasattr(a, "dtype") else max(a, b)
+
+
+# ---------------------------------------------------------------------------
+# Class-bucketed band kernels: each call processes ONE window-width
+# class's tiles via scalar-prefetch tile-id indirection (index maps read
+# ids[i]); lo arrays are pre-gathered per class so kernel bodies index
+# them by grid step directly. See BandClassPlan.
+
+
+def class_plan_covers(
+    plan: BandClassPlan, nlist: np.ndarray, edges: np.ndarray
+) -> bool:
+    """Whether a (new frame's) real neighbors all fall inside each
+    tile's CLASS window — verify-and-reuse across trajectory frames."""
+    nlist = np.asarray(nlist)
+    edges = np.asarray(edges)
+    n = nlist.shape[0]
+    if _round_up(max(n, plan.block_rows), plan.block_rows) != plan.n_padded:
+        return False
+    t = plan.num_tiles
+    lo_full = np.zeros(t, np.int64)
+    w_full = np.zeros(t, np.int64)
+    for c in plan.classes:
+        lo_full[c.ids] = c.lo
+        w_full[c.ids] = c.window
+    rows = np.arange(n) // plan.block_rows
+    rel = nlist - lo_full[rows][:, None]
+    ok = ((rel >= 0) & (rel < w_full[rows][:, None])) | (edges <= 0)
+    return bool(ok.all())
+
+
+def build_band_poly_cls(
+    nlist: jnp.ndarray,    # i32[N, K]
+    edges: jnp.ndarray,    # f32[N, K] raw distances
+    cheb,                  # ops.edgefn.EdgeCheb
+    cls: BandClass,
+    block_rows: int,
+    n_padded: int,
+    ids: Optional[jnp.ndarray] = None,   # traced overrides (jit reuse)
+    lo: Optional[jnp.ndarray] = None,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """M_c [Tc, E, B, Wc]: the Chebyshev band build over one class's
+    tiles (cf. build_band_poly)."""
+    B, W = block_rows, cls.window
+    n, k = nlist.shape
+    e_ch = cheb.coeffs.shape[1]
+    coeffs = tuple(
+        tuple(float(c) for c in cheb.coeffs[:, n_]) for n_ in range(e_ch)
+    )
+    pad = n_padded - n
+    nlist_p = jnp.pad(nlist.astype(jnp.int32), ((0, pad), (0, 0)), constant_values=-1)
+    edges_p = jnp.pad(edges, ((0, pad), (0, 0)))
+    tc = len(cls.ids)
+
+    def kernel(lo_ref, ids_ref, nlist_ref, edges_ref, m_ref):
+        _poly_band_kernel(
+            lo_ref, nlist_ref, edges_ref, m_ref,
+            coeffs=coeffs, d_lo=cheb.d_lo, d_hi=cheb.d_hi,
+            n_edge_channels=e_ch, neighbor_k=k, window=W, block_rows=B,
+        )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(tc,),
+        in_specs=[
+            pl.BlockSpec((B, k), lambda i, lo, ids: (ids[i], 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, k), lambda i, lo, ids: (ids[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e_ch, B, W), lambda i, lo, ids: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((tc, e_ch, B, W), out_dtype),
+        interpret=interpret,
+    )(
+        jnp.asarray(cls.lo) if lo is None else lo.astype(jnp.int32),
+        jnp.asarray(cls.ids) if ids is None else ids.astype(jnp.int32),
+        nlist_p, edges_p,
+    )
+
+
+def _mp_banded_hbm_cls_kernel(
+    lo_ref,       # i32[Tc] scalar prefetch (class window starts)
+    ids_ref,      # i32[Tc] scalar prefetch (global tile ids)
+    m_ref,        # [1, E, B, W] class band tile
+    nodes_ref,    # [N_pad, F] node table in HBM/ANY
+    w_ref,        # [E, F, F]
+    inv_ref,      # [B, 1] inv_degree rows of tile ids[i]
+    out_ref,      # [B, F] class-contiguous output tile
+    win_ref, res_ref, sem_win, sem_res,
+    *,
+    n_edge_channels, window, block_rows, activation,
+):
+    i = pl.program_id(0)
+    T = pl.num_programs(0)
+    slot = jax.lax.rem(i, 2)
+    nxt = jax.lax.rem(i + 1, 2)
+
+    def win_dma(j, s):
+        lo = pl.multiple_of(lo_ref[j], 128)
+        return pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(lo, window), :], win_ref.at[s], sem_win.at[s]
+        )
+
+    def res_dma(j, s):
+        return pltpu.make_async_copy(
+            nodes_ref.at[pl.ds(ids_ref[j] * block_rows, block_rows), :],
+            res_ref.at[s],
+            sem_res.at[s],
+        )
+
+    @pl.when(i == 0)
+    def _():
+        win_dma(0, 0).start()
+        res_dma(0, 0).start()
+
+    @pl.when(i + 1 < T)
+    def _():
+        win_dma(i + 1, nxt).start()
+        res_dma(i + 1, nxt).start()
+
+    win_dma(i, slot).wait()
+    res_dma(i, slot).wait()
+
+    win = win_ref[slot]
+    acc = jnp.zeros((block_rows, win.shape[-1]), jnp.float32)
+    for n in range(n_edge_channels):
+        h = jnp.dot(m_ref[0, n], win, preferred_element_type=jnp.float32)
+        acc += jnp.dot(
+            h.astype(w_ref.dtype), w_ref[n], preferred_element_type=jnp.float32
+        )
+    acc = acc * inv_ref[...]
+    out_ref[...] = (
+        activation(acc) + res_ref[slot].astype(jnp.float32)
+    ).astype(out_ref.dtype)
+
+
+def mp_banded_hbm_cls(
+    M: jnp.ndarray,           # [Tc, E, B, Wc] from build_band_poly_cls
+    cls: BandClass,
+    block_rows: int,
+    nodes: jnp.ndarray,       # [N_pad, F] — stays in HBM
+    w: jnp.ndarray,           # [F, F, E]
+    inv_degree: jnp.ndarray,  # f32[N_pad]
+    activation_name: str = "softplus",
+    ids: Optional[jnp.ndarray] = None,
+    lo: Optional[jnp.ndarray] = None,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One MP layer over ONE class's tiles with the node table in HBM.
+    Returns the class-contiguous rows f32-like [Tc*B, F]; the caller
+    scatters them back by cls.ids (contiguous blocks)."""
+    from .activations import get_activation
+
+    Tc, E, B, W = M.shape
+    F = nodes.shape[-1]
+    w_t = jnp.moveaxis(w, -1, 0).astype(nodes.dtype)
+    inv_rows = inv_degree.reshape(-1, 1).astype(jnp.float32)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(Tc,),
+        in_specs=[
+            pl.BlockSpec((1, E, B, W), lambda i, lo, ids: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),  # node table in HBM
+            pl.BlockSpec((E, F, F), lambda i, lo, ids: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((B, 1), lambda i, lo, ids: (ids[i], 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((B, F), lambda i, lo, ids: (i, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, W, F), nodes.dtype),
+            pltpu.VMEM((2, B, F), nodes.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+    )
+    kernel = functools.partial(
+        _mp_banded_hbm_cls_kernel,
+        n_edge_channels=E,
+        window=W,
+        block_rows=B,
+        activation=get_activation(activation_name),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Tc * B, F), nodes.dtype),
+        interpret=interpret,
+        cost_estimate=pl.CostEstimate(
+            flops=2 * Tc * E * B * W * F + 2 * Tc * E * B * F * F,
+            bytes_accessed=M.size * M.dtype.itemsize
+            + Tc * (W + 2 * B) * F * nodes.dtype.itemsize,
+            transcendentals=Tc * B * F,
+        ),
+    )(
+        jnp.asarray(cls.lo) if lo is None else lo.astype(jnp.int32),
+        jnp.asarray(cls.ids) if ids is None else ids.astype(jnp.int32),
+        M, nodes, w_t, inv_rows,
+    )
 
 
 def build_band_xla(

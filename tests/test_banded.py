@@ -461,3 +461,74 @@ def test_apply_banded_fast_config_close_to_exact():
     poly_f32 = np.asarray(apply_banded(params, cfg, g, plan, cheb=cheb,
                                        interpret=True))
     np.testing.assert_allclose(poly_f32, exact, rtol=1e-4, atol=1e-3)
+
+
+def test_band_plan_classes_partitions_and_covers():
+    """band_plan_classes buckets every tile exactly once, windows cover
+    all real neighbors, and total lanes beat the single global window on
+    a skewed distribution."""
+    from nmrgnn_tpu.data.parse import structure2graph
+    from nmrgnn_tpu.data.reorder import permute_graph, rcm_order
+    from nmrgnn_tpu.ops.banded import band_plan_classes, class_plan_covers
+
+    g = structure2graph("/root/reference/tests/108M.pdb")
+    order = rcm_order(np.asarray(g.nlist), np.asarray(g.edges))
+    g, _ = permute_graph(g, order, pin_zero=False)
+    nl, ed = np.asarray(g.nlist), np.asarray(g.edges)
+    cls_plan = band_plan_classes(nl, ed)
+    plan = band_plan(nl, ed)
+    all_ids = np.concatenate([c.ids for c in cls_plan.classes])
+    assert sorted(all_ids) == list(range(cls_plan.num_tiles))
+    assert class_plan_covers(cls_plan, nl, ed)
+    lanes_cls = sum(len(c.ids) * c.window for c in cls_plan.classes)
+    assert lanes_cls < plan.num_tiles * plan.window
+
+
+def test_apply_banded_hbm_classes_matches_gather():
+    """The class-bucketed HBM forward equals the gather forward."""
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.data.embeddings import load_standards
+    from nmrgnn_tpu.models import gnn
+    from nmrgnn_tpu.models.infer import apply_banded_hbm_classes
+    from nmrgnn_tpu.ops.banded import band_plan_classes
+    from nmrgnn_tpu.ops.edgefn import fit_edge_chebyshev
+
+    cfg = ModelConfig(dropout=False, noise=0.0)
+    rng = np.random.default_rng(7)
+    n, k = 520, 12
+    # skewed windows: most rows local, a block of long-range rows
+    spread = np.where(np.arange(n) % 4 == 0, 180, 30)
+    nlist = np.clip(
+        np.arange(n)[:, None]
+        + rng.integers(-1, 2, (n, k)) * spread[:, None]
+        + rng.integers(-20, 20, (n, k)),
+        0, n - 1,
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.19, (n, k)).astype(np.float32)
+    dists[:, -2:] = 0.0
+    inv = np.asarray(inv_degree_from_nlist(jnp.asarray(nlist)))
+    g = Graph(*[jnp.asarray(a) for a in (
+        np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist, dists, inv)])
+    params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+    cheb = fit_edge_chebyshev(
+        params["edge_fc"], rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+        rbf_count=cfg.edge_hidden_size, activation=cfg.fc_activation,
+        degree=64,
+    )
+    cls_plan = band_plan_classes(nlist, dists)
+    want = np.asarray(gnn.apply(params, cfg, g))
+    got = np.asarray(
+        apply_banded_hbm_classes(params, cfg, g, cls_plan, cheb, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+    # and with traced (ids, lo) overrides (the serving jit-reuse path)
+    arrays = tuple(
+        (jnp.asarray(c.ids), jnp.asarray(c.lo)) for c in cls_plan.classes
+    )
+    got2 = np.asarray(
+        apply_banded_hbm_classes(
+            params, cfg, g, cls_plan, cheb, arrays=arrays, interpret=True
+        )
+    )
+    np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-4)

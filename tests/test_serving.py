@@ -453,3 +453,45 @@ def test_partitioned_plan_rebuild_reuses_compilation():
     p2 = sm.predict(g)
     assert len(sm._jit_cache) == n_compiled  # same-shape plan: cache hit
     np.testing.assert_allclose(p1, p2, rtol=1e-6, atol=1e-6)
+
+
+def test_serving_hbm_selects_class_bucketed_fast_path(monkeypatch):
+    """At HBM scale with precision='fast', serving dispatches the
+    class-bucketed band forward (tiles grouped by window need) and
+    caches/reuses its plan across frames."""
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    rng = np.random.default_rng(1)
+    n, k = 32768, 8  # bf16 node table ~16 MB: past the VMEM budget
+    spread = np.where(np.arange(n) % 3 == 0, 220, 40)
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-1, 2, (n, k)) * spread[:, None]
+        + rng.integers(-30, 30, (n, k)),
+        0, n - 1,
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist=nlist, edges=dists,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False,
+                      precision="fast")
+    assert sm._resolve_mode(g) == "banded_hbm"
+    cls_plan = sm._banded_cls_plan(g)
+    assert cls_plan is not None and len(cls_plan.classes) > 1
+    # same-coverage frame reuses the cached plan object
+    assert sm._banded_cls_plan(g) is cls_plan
+
+    called = {}
+
+    def stub(plan):
+        called["plan"] = plan
+        return lambda p, gj, arrays: np.zeros(
+            plan.n_padded, np.float32
+        )
+
+    monkeypatch.setattr(sm, "_banded_hbm_cls_fwd", stub)
+    sm.predict(g)
+    assert called["plan"] is cls_plan
