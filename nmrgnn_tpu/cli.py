@@ -594,7 +594,10 @@ def import_reference(checkpoint, out_dir, config_path):
 @click.option("--validation", default=0.1)
 @click.option("--trials", default=8, help="number of sampled configurations")
 @click.option("--seed", default=0)
-def hyper(tfrecords, epochs, tuning_path, embeddings, validation, trials, seed):
+@click.option("--batch-size", default=8)
+@click.option("--pad-to", default=256)
+def hyper(tfrecords, epochs, tuning_path, embeddings, validation, trials, seed,
+          batch_size, pad_to):
     """Tune hyperparameters (reference main.py:281-339) with a native
     successive-halving random search over the reference's HP space."""
     from .train.hyper import run_hyper
@@ -604,7 +607,7 @@ def hyper(tfrecords, epochs, tuning_path, embeddings, validation, trials, seed):
     best = run_hyper(
         list(tfrecords), epochs=epochs, validation=validation,
         trials=trials, tuning_path=tuning_path, seed=seed,
-        embeddings_path=embeddings,
+        embeddings_path=embeddings, batch_size=batch_size, pad_to=pad_to,
     )
     click.echo(f"Best config written to {tuning_path}/best_config.json")
     click.echo(best.to_json())
