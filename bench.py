@@ -123,10 +123,15 @@ def measure(iters=ITERS, warmup=WARMUP, fast=True):
         return best
 
     # two LONG anchors: both device-dominated, so the ~0.5 ms tunnel
-    # round-trip jitter cancels in the slope instead of dividing into it
+    # round-trip jitter cancels in the slope instead of dividing into it.
+    # The chip is SHARED — concurrent tenants inflate latencies 1.5-3x —
+    # so the slope is measured twice and the faster round wins (transient
+    # load can only make a round slower, never faster).
     k_lo, k_hi = max(iters // 3, 1), iters
-    t_lo, t_hi = timed(k_lo), timed(k_hi)
-    dt = max((t_hi - t_lo) / (k_hi - k_lo), 1e-9)
+    dt = float("inf")
+    for _ in range(2):
+        t_lo, t_hi = timed(k_lo), timed(k_hi)
+        dt = min(dt, max((t_hi - t_lo) / (k_hi - k_lo), 1e-9))
     edges_per_fwd = n_real_edges * config.mp_layers
     return edges_per_fwd / dt, dt, n_real_edges
 

@@ -117,7 +117,8 @@ class PartitionedTrainer:
         )
         self._steps: Dict[tuple, object] = {}
         self._evals: Dict[tuple, object] = {}
-        self._prepared: Dict[int, PreparedStructure] = {}
+        # id -> (sample ref, prepared); the ref keeps the id stable
+        self._prepared: Dict[int, Tuple[Sample, PreparedStructure]] = {}
 
     # -- structure preparation --------------------------------------------
     def prepare(self, sample: Sample) -> PreparedStructure:
