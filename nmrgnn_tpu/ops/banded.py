@@ -315,17 +315,25 @@ def fused_build_fits(
     n_edge_channels: int = 3,
     neighbor_k: int = 16,
     out_bytes: int = 4,
-    budget_bytes: int = 14 * 1024 * 1024,
+    budget_bytes: int = 15 * 1024 * 1024,
 ) -> bool:
     """Whether the fused edge+band kernel's scoped VMEM (per-slot MLP
-    activations, f32 band accumulators, double-buffered output tile) fits.
-    The 2x factor covers Mosaic's pipelining/concat temporaries (sized
-    from a measured v5e stack OOM at B=128, W=1536, E=3: 20.9 MB)."""
+    activations, f32 band accumulators, double-buffered output tile)
+    fits the 16 MB scoped limit (with margin).
+
+    Calibrated against MEASURED v5e scoped allocations of this kernel at
+    B=128, E=3, f32 out: W=896 -> 11.4 MB (runs), W=1280 -> 17.08 MB
+    (scoped OOM), W=1536 -> 20.9 MB (scoped OOM). Those three points fit
+    scoped ~ 3.24 * (accumulators + double-buffered output) - 2 MB
+    exactly — Mosaic's pipelining/concat temporaries are ~3.2x the naive
+    sum, not the 2x the previous gate assumed, which let the 7lgi-class
+    W=1280 band through and crashed exact-precision TPU serving."""
     B, W = plan.block_rows, plan.window
     x = B * neighbor_k * edge_hidden * 4
     accs = n_edge_channels * B * W * 4
     out2 = 2 * n_edge_channels * B * W * out_bytes
-    return 2 * (x + accs + out2) < budget_bytes
+    est = 3.24 * (accs + out2) - 2 * 1024 * 1024 + x
+    return est < budget_bytes
 
 
 # ---------------------------------------------------------------------------

@@ -532,3 +532,20 @@ def test_apply_banded_hbm_classes_matches_gather():
         )
     )
     np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-4)
+
+
+def test_fused_build_gate_calibration():
+    """fused_build_fits must reject the configurations MEASURED to
+    scoped-VMEM-OOM on v5e (W=1280 f32 at B=128: 17.08 MB vs 16 MB
+    limit — this crashed exact-precision 7lgi serving on TPU) and
+    accept the measured-working ones (W=896 at B=128, W=1280 at B=64)."""
+    from nmrgnn_tpu.ops.banded import BandPlan, fused_build_fits
+
+    def plan(w, b):
+        return BandPlan(lo=np.zeros(4, np.int32), window=w, block_rows=b,
+                        n_padded=2816)
+
+    assert fused_build_fits(plan(896, 128), 128)          # 11.4 MB measured
+    assert not fused_build_fits(plan(1280, 128), 128)     # 17.08 MB OOM
+    assert not fused_build_fits(plan(1536, 128), 128)     # 20.9 MB OOM
+    assert fused_build_fits(plan(1280, 64), 128)          # runs on TPU

@@ -93,7 +93,7 @@ class TestHaloForward:
         got = np.asarray(apply_partitioned_halo(params, CFG, gp, plan, mesh))
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
-    @pytest.mark.parametrize("n_shards", [2, 4, 8])
+    @pytest.mark.parametrize("n_shards", [1, 2, 4, 8])
     def test_banded_matches_single_device(self, graph_rcm, n_shards):
         """The multi-chip Pallas fast path (per-shard banded interior +
         halo block, VERDICT r2 item 2) equals the single-device forward."""
