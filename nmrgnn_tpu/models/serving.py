@@ -712,23 +712,46 @@ class ServingModel:
 
     def predict_trajectory(
         self, struct, stride: int = 1, neighbor_number: int = 16,
-        prefetch: int = 2,
+        prefetch: int = 4, build_workers: int = 4,
     ) -> Iterator[Tuple[int, np.ndarray]]:
         """Yield (frame_index, peaks f32[N]) over a parsed Structure.
 
-        Pipelined: a worker thread parses/builds graph i+1 while the
-        device runs frame i, and frame i's readback happens after frame
-        i+1 has been dispatched.
+        Pipelined: ``build_workers`` threads build upcoming frames'
+        graphs (~6 ms/frame at 2.8k atoms, overlapped with each other
+        and the device compute), and frame i's readback happens after
+        frame i+1 has been dispatched; results stay in frame order. On
+        a remote-tunneled chip the per-frame readback round trip is the
+        throughput bound — prefer :meth:`predict_frames` (one readback
+        per batch) for offline trajectory scoring.
         """
+        from concurrent.futures import ThreadPoolExecutor
+
         from ..data.parse import structure2graph
 
-        frames = range(0, struct.n_frames, stride)
+        frames = list(range(0, struct.n_frames, stride))
         q: "queue.Queue" = queue.Queue(maxsize=max(1, prefetch))
 
+        def build(i):
+            return i, structure2graph(struct, neighbor_number, frame=i)
+
         def producer():
+            import collections
+
             try:
-                for i in frames:
-                    q.put((i, structure2graph(struct, neighbor_number, frame=i)))
+                with ThreadPoolExecutor(max_workers=build_workers) as pool:
+                    # bounded in-flight window, results in frame order
+                    futs = collections.deque()
+                    it = iter(frames)
+                    for _ in range(build_workers + prefetch):
+                        i = next(it, None)
+                        if i is None:
+                            break
+                        futs.append(pool.submit(build, i))
+                    while futs:
+                        q.put(futs.popleft().result())
+                        i = next(it, None)
+                        if i is not None:
+                            futs.append(pool.submit(build, i))
             finally:
                 q.put(None)
 
