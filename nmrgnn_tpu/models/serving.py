@@ -7,9 +7,11 @@ Path selection (first call, then fixed):
     atoms at F=256;
   * banded MP with the node table in HBM (mp_banded_hbm, double-buffered
     window DMA) for larger graphs whose RCM band is still narrow — no
-    VMEM bound on atom count;
-  * block-sparse Pallas MP (ops/blocksparse.py) when the band is too
-    wide for a per-tile window (window > ~4k lanes);
+    VMEM bound on atom count; under precision="fast" the tiles are
+    class-bucketed by their actual window need
+    (ops/banded.band_plan_classes — 24% faster at 44.7k atoms);
+  * block-sparse Pallas MP (ops/blocksparse.py) when the band's
+    per-tile working set escapes the VMEM gates;
   * XLA block path on CPU;
   * attention-family (AMPLayer) models ride the banded path too — the
     softmax-weighted aggregation is a one-channel band
