@@ -30,6 +30,17 @@ CACHE = os.path.join(REPO, ".bench_cpu_baseline.json")
 PDB = "/root/reference/tests/108M.pdb"
 WARMUP = 3
 ITERS = 36
+# contention-robust capture (round-5): anchors long enough that the
+# tunnel's fixed ~23 ms dispatch+readback is subtracted by the slope
+# and its jitter is <2% of it; rounds are SPACED across minutes because
+# observed co-tenant load drifts on the minute scale (back-to-back
+# samples agree within 3% while slopes minutes apart differ 20%), so
+# convergence requires agreement between two DIFFERENT rounds' minima.
+K_LO, K_HI = 64, 256
+MIN_SAMPLE_ROUNDS = 5
+MAX_SAMPLE_ROUNDS = 12
+INTER_ROUND_SLEEP_S = 12.0
+AGREE_RTOL = 0.05
 
 
 def build_inputs():
@@ -50,7 +61,7 @@ def build_inputs():
     return config, params, g, n_real_edges
 
 
-def measure(iters=ITERS, warmup=WARMUP, fast=True):
+def measure(iters=ITERS, warmup=WARMUP, fast=True, quick=False):
     """Steady-state forward latency via the chained-loop slope method.
 
     The remote-TPU tunnel used in some environments is fully lazy —
@@ -112,28 +123,53 @@ def measure(iters=ITERS, warmup=WARMUP, fast=True):
     # tunnel AOT compile costs tens of seconds)
     f = jax.jit(chained)
 
-    def timed(k):
-        k = jnp.int32(k)
-        float(f(params, g, k))  # compile + warm
-        best = float("inf")
-        for _ in range(warmup):
-            t0 = time.perf_counter()
-            float(f(params, g, k))
-            best = min(best, time.perf_counter() - t0)
-        return best
+    def sample(k):
+        t0 = time.perf_counter()
+        float(f(params, g, jnp.int32(k)))
+        return time.perf_counter() - t0
 
-    # two LONG anchors: both device-dominated, so the ~0.5 ms tunnel
-    # round-trip jitter cancels in the slope instead of dividing into it.
-    # The chip is SHARED — concurrent tenants inflate latencies 1.5-3x —
-    # so the slope is measured twice and the faster round wins (transient
-    # load can only make a round slower, never faster).
-    k_lo, k_hi = max(iters // 3, 1), iters
-    dt = float("inf")
-    for _ in range(2):
-        t_lo, t_hi = timed(k_lo), timed(k_hi)
-        dt = min(dt, max((t_hi - t_lo) / (k_hi - k_lo), 1e-9))
+    # Contention-robust slope capture. The chip is SHARED — co-tenant
+    # load is *sustained on the minute scale*, so a burst of agreeing
+    # back-to-back samples proves nothing about the quiet-chip number.
+    # Rounds are therefore spread across minutes (INTER_ROUND_SLEEP_S
+    # apart); within each round the minimum of each anchor is tracked
+    # (transient load only ever slows a sample down), and across rounds
+    # the global per-anchor minima converge to the quiet-chip times.
+    # Convergence = the two fastest per-round slopes come from different
+    # rounds and agree within AGREE_RTOL; at least MIN_SAMPLE_ROUNDS
+    # rounds always run, at most MAX_SAMPLE_ROUNDS.
+    # quick=True (CPU baseline / test path): short anchors, no spacing
+    k_lo, k_hi = (max(iters // 3, 1), iters) if quick else (K_LO, K_HI)
+    float(f(params, g, jnp.int32(k_lo)))  # compile once
+    float(f(params, g, jnp.int32(k_hi)))  # warm the long trip count
+    lo_s, hi_s, round_dts = [], [], []
+    min_rounds = 1 if quick else MIN_SAMPLE_ROUNDS
+    max_rounds = 2 if quick else MAX_SAMPLE_ROUNDS
+    for rounds in range(1, max_rounds + 1):
+        r_lo, r_hi = [], []
+        for _ in range(max(warmup, 2)):
+            r_lo.append(sample(k_lo))
+            r_hi.append(sample(k_hi))
+        lo_s += r_lo
+        hi_s += r_hi
+        round_dts.append((min(r_hi) - min(r_lo)) / (k_hi - k_lo))
+        best2 = sorted(round_dts)[:2]
+        converged = (
+            len(round_dts) >= 2 and best2[1] <= best2[0] * (1 + AGREE_RTOL)
+        )
+        if rounds >= min_rounds and converged:
+            break
+        if not quick and rounds < max_rounds:
+            time.sleep(INTER_ROUND_SLEEP_S)
+    dt = max((min(hi_s) - min(lo_s)) / (k_hi - k_lo), 1e-9)
+    stats = {
+        "rounds": rounds,
+        "samples": len(lo_s) + len(hi_s),
+        "dt_worst": max(max(round_dts), dt),
+        "converged": converged,
+    }
     edges_per_fwd = n_real_edges * config.mp_layers
-    return edges_per_fwd / dt, dt, n_real_edges
+    return edges_per_fwd / dt, dt, n_real_edges, stats
 
 
 def cpu_baseline() -> float:
@@ -163,10 +199,10 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        eps, _, _ = measure(iters=5, warmup=2, fast=False)
+        eps, _, _, _ = measure(iters=5, warmup=2, fast=False, quick=True)
         print(eps)
         return
-    eps, dt, n_edges = measure(fast=True)
+    eps, dt, n_edges, stats = measure(fast=True)
     base = cpu_baseline()
     vs = eps / base if base > 0 else 1.0
     print(
@@ -176,18 +212,27 @@ def main():
                 "value": round(eps, 1),
                 "unit": "edges/s",
                 "vs_baseline": round(vs, 3),
+                "fwd_ms_best": round(dt * 1e3, 4),
+                "fwd_ms_worst_observed": round(stats["dt_worst"] * 1e3, 4),
+                "capture": {
+                    "rounds": stats["rounds"],
+                    "samples": stats["samples"],
+                    "converged": stats["converged"],
+                },
             }
         )
     )
     print(
         f"# fast serving path (banded Pallas + Chebyshev edge + bf16): "
-        f"fwd latency {dt*1e3:.3f} ms, {n_edges} real edges, "
+        f"fwd latency {dt*1e3:.3f} ms (worst observed "
+        f"{stats['dt_worst']*1e3:.3f} ms over {stats['samples']} samples, "
+        f"converged={stats['converged']}), {n_edges} real edges, "
         f"cpu baseline (exact f32 gather) {base:.3e} edges/s",
         file=sys.stderr,
     )
     if os.environ.get("NMRGNN_TPU_BENCH_FULL"):
         # optional second measurement (adds minutes of tunnel round trips)
-        eps_x, dt_x, _ = measure(fast=False)
+        eps_x, dt_x, _, _ = measure(fast=False)
         print(
             f"# exact f32 gather path on device: {dt_x*1e3:.3f} ms, "
             f"{eps_x:.3e} edges/s ({eps_x/base if base else 1.0:.0f}x cpu)",
