@@ -292,29 +292,57 @@ class ServingModel:
         return cls_plan
 
     def _banded_hbm_cls_fwd(self, cls_plan):
+        """Compiled class-bucketed forward as ``run(params, graph)``.
+
+        The first compile for a shape bakes the plan's ids/lo in
+        STATICALLY so reassembly uses the contiguous-run
+        dynamic_update_slice copies (the general row scatter measured
+        ~25% of the whole forward). Only when a REBUILT plan with the
+        same shape signature arrives (trajectory frame whose band moved)
+        does a second, traced-(ids, lo) variant compile and take over —
+        shape reuse without paying the scatter on the common path."""
+        import jax.numpy as jnp
+
+        from .infer import apply_banded_hbm_classes
+
         key = (
             "banded_hbm_cls", cls_plan.n_padded, cls_plan.block_rows,
             tuple((len(c.ids), c.window) for c in cls_plan.classes),
         )
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            from .infer import apply_banded_hbm_classes
-
-            config = self.config
-            cheb = self._edge_cheb()
-            interpret = self.interpret
+        config = self.config
+        cheb = self._edge_cheb()
+        interpret = self.interpret
+        ent = self._jit_cache.get(key)
+        if ent is None:
 
             @jax.jit
-            def fn(params, graph, arrays):
-                # ids/lo ride as runtime arrays so rebuilt same-shape
-                # class plans reuse this compilation
+            def fn_static(params, graph):
                 return apply_banded_hbm_classes(
-                    params, config, graph, cls_plan, cheb, arrays=arrays,
+                    params, config, graph, cls_plan, cheb,
                     interpret=interpret,
                 )
 
-            self._jit_cache[key] = fn
-        return fn
+            ent = {"plan": cls_plan, "static": fn_static, "traced": None}
+            self._jit_cache[key] = ent
+        if ent["plan"] is cls_plan:
+            return ent["static"]
+        if ent["traced"] is None:
+            baked = ent["plan"]  # same shape signature as cls_plan
+
+            @jax.jit
+            def fn_traced(params, graph, arrays):
+                return apply_banded_hbm_classes(
+                    params, config, graph, baked, cheb, arrays=arrays,
+                    interpret=interpret,
+                )
+
+            ent["traced"] = fn_traced
+        traced = ent["traced"]
+        arrays = tuple(
+            (jnp.asarray(c.ids), jnp.asarray(c.lo))
+            for c in cls_plan.classes
+        )
+        return lambda params, graph: traced(params, graph, arrays)
 
     def _block_struct(self, g: Graph):
         if self._struct is not None:
@@ -567,12 +595,8 @@ class ServingModel:
             elif mode == "banded_hbm" and self.precision == "fast":
                 cls_plan = self._banded_cls_plan(g)
                 if cls_plan is not None and len(cls_plan.classes) > 1:
-                    arrays = tuple(
-                        (jnp.asarray(c.ids), jnp.asarray(c.lo))
-                        for c in cls_plan.classes
-                    )
                     peaks = self._banded_hbm_cls_fwd(cls_plan)(
-                        self.params, gj, arrays
+                        self.params, gj
                     )
                 else:
                     peaks = self._banded_fwd(plan, hbm=True)(
@@ -754,8 +778,12 @@ class ServingModel:
                         i = next(it, None)
                         if i is not None:
                             futs.append(pool.submit(build, i))
-            finally:
                 q.put(None)
+            except BaseException as e:  # noqa: BLE001
+                # a failed graph build must surface in the consumer — a
+                # silent sentinel would make a truncated trajectory
+                # indistinguishable from a completed one
+                q.put(e)
 
         threading.Thread(target=producer, daemon=True).start()
 
@@ -764,6 +792,10 @@ class ServingModel:
             item = q.get()
             if item is None:
                 break
+            if isinstance(item, BaseException):
+                raise RuntimeError(
+                    "trajectory graph build failed mid-stream"
+                ) from item
             i, g = item
             peaks, inverse = self._predict_async(g)
             if pending is not None:

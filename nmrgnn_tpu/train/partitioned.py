@@ -97,7 +97,14 @@ class PartitionedTrainer:
         axis: str = "graph",
         interpret: Optional[bool] = None,
         block_rows: int = 128,
+        prepare_cache_size: int = 64,
     ):
+        """``prepare_cache_size`` bounds the device-resident
+        PreparedStructure cache: each entry pins the padded frame's
+        graph, labels and plan arrays in HBM (a 44.7k-atom frame is tens
+        of MB), so trajectory-scale runs over many distinct frames
+        should lower this toward the working-set they actually revisit
+        (entries evict FIFO beyond the bound)."""
         if mesh is None:
             raise ValueError("PartitionedTrainer requires a mesh")
         self.config = config or ModelConfig()
@@ -112,6 +119,7 @@ class PartitionedTrainer:
         self.interpret = (
             jax.default_backend() != "tpu" if interpret is None else interpret
         )
+        self.prepare_cache_size = prepare_cache_size
         self._tx = optax.inject_hyperparams(optax.adam)(
             learning_rate=self.config.learning_rate
         )
@@ -165,7 +173,8 @@ class PartitionedTrainer:
             inverse=inverse,
             n_real=n,
         )
-        if len(self._prepared) >= 64:  # bound memory over long trajectories
+        # bound device memory over long trajectories (see __init__)
+        while len(self._prepared) >= max(self.prepare_cache_size, 1):
             self._prepared.pop(next(iter(self._prepared)))
         self._prepared[key] = (sample, prep)
         return prep

@@ -209,22 +209,43 @@ class Trainer:
         path = self.tcfg.mp_path
         if path == "gather":
             return False
-        eligible = (
+        from ..models.infer import fragment_band_plan
+        from ..ops.banded import plan_fits_vmem
+
+        shape_ok = (
             self.config.mp_type == "bilinear"
             and self.tcfg.pad_to % 128 == 0
             and self.config.atom_feature_size % 128 == 0
             and not self.tensor_parallel
         )
+        # mp_banded keeps the whole flattened node table
+        # [batch/dp * pad_to, F] in VMEM alongside the double-buffered
+        # band tiles — a large batch*pad_to*F silently busts Mosaic's
+        # VMEM allocation at runtime unless gated here, exactly as
+        # serving gates the same kernel (serving.py plan_fits_vmem).
+        fits = False
+        if shape_ok:
+            dp = self.mesh.shape["data"] if self.mesh is not None else 1
+            fits = plan_fits_vmem(
+                fragment_band_plan(
+                    max(self.tcfg.batch_size // dp, 1), self.tcfg.pad_to
+                ),
+                self.config.atom_feature_size,
+            )
+        eligible = shape_ok and fits
         if path == "banded":
             if not eligible:
                 raise ValueError(
                     "mp_path='banded' requires the bilinear MP family, "
-                    "pad_to and atom_feature_size multiples of 128, and "
-                    "no tensor parallelism "
+                    "pad_to and atom_feature_size multiples of 128, "
+                    "no tensor parallelism, and a per-shard "
+                    "batch_size*pad_to*F working set that fits VMEM "
                     f"(got mp_type={self.config.mp_type}, "
+                    f"batch_size={self.tcfg.batch_size}, "
                     f"pad_to={self.tcfg.pad_to}, "
                     f"F={self.config.atom_feature_size}, "
-                    f"tensor_parallel={self.tensor_parallel})"
+                    f"tensor_parallel={self.tensor_parallel}, "
+                    f"vmem_fit={fits})"
                 )
             return True
         if path != "auto":

@@ -4,6 +4,7 @@ trajectory frames."""
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from nmrgnn_tpu import ModelConfig, apply, init_params
 from nmrgnn_tpu.data.parse import structure2graph
@@ -54,6 +55,31 @@ def test_serving_model_trajectory():
         np.testing.assert_allclose(p, want, rtol=2e-3, atol=2e-3)
         peaks.append(p)
     assert np.mean((peaks[0] - peaks[1]) ** 2) > 0  # frames differ
+
+
+def test_predict_trajectory_propagates_build_failure(monkeypatch):
+    """A graph build that fails mid-stream must raise in the consumer —
+    a silently truncated trajectory is indistinguishable from a
+    completed one (advisor r4)."""
+    import nmrgnn_tpu.data.parse as parse_mod
+
+    struct = read_structure(PDB_7LGI)
+    params = init_params(jax.random.PRNGKey(1), CFG)
+    sm = ServingModel(params, CFG, use_pallas=False)
+    real = parse_mod.structure2graph
+
+    def failing(s, k=16, frame=0):
+        if frame >= 2:
+            raise OSError("synthetic build failure")
+        return real(s, k, frame=frame)
+
+    import nmrgnn_tpu.models.serving as serving_mod
+
+    monkeypatch.setattr(serving_mod, "structure2graph", failing, raising=False)
+    monkeypatch.setattr(parse_mod, "structure2graph", failing)
+    with pytest.raises(RuntimeError, match="build failed"):
+        for _ in sm.predict_trajectory(struct):
+            pass
 
 
 def test_predict_frames_matches_per_frame():
@@ -488,10 +514,50 @@ def test_serving_hbm_selects_class_bucketed_fast_path(monkeypatch):
 
     def stub(plan):
         called["plan"] = plan
-        return lambda p, gj, arrays: np.zeros(
-            plan.n_padded, np.float32
-        )
+        return lambda p, gj: np.zeros(plan.n_padded, np.float32)
 
     monkeypatch.setattr(sm, "_banded_hbm_cls_fwd", stub)
     sm.predict(g)
     assert called["plan"] is cls_plan
+
+
+def test_serving_hbm_cls_static_then_traced_dispatch():
+    """The first compile for a class-plan shape bakes ids/lo statically
+    (contiguous-run reassembly); only a REBUILT same-shape plan gets the
+    traced-arrays variant (advisor r4: the run-based branch must be
+    reachable from serving, the production surface)."""
+    import copy
+
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+    from nmrgnn_tpu.models.serving import ServingModel
+
+    rng = np.random.default_rng(1)
+    n, k = 32768, 8
+    spread = np.where(np.arange(n) % 3 == 0, 220, 40)
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-1, 2, (n, k)) * spread[:, None]
+        + rng.integers(-30, 30, (n, k)),
+        0, n - 1,
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist=nlist, edges=dists,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False,
+                      precision="fast")
+    cls_plan = sm._banded_cls_plan(g)
+    assert cls_plan is not None
+    run1 = sm._banded_hbm_cls_fwd(cls_plan)
+    key = next(k for k in sm._jit_cache if k[0] == "banded_hbm_cls")
+    ent = sm._jit_cache[key]
+    assert ent["plan"] is cls_plan and ent["traced"] is None
+    # the SAME plan object keeps returning the static-ids compilation
+    assert sm._banded_hbm_cls_fwd(cls_plan) is run1
+    # a rebuilt plan with the identical shape signature switches to the
+    # traced-(ids, lo) variant without a new static compile
+    rebuilt = copy.deepcopy(cls_plan)
+    run2 = sm._banded_hbm_cls_fwd(rebuilt)
+    assert run2 is not run1 and ent["traced"] is not None

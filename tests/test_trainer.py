@@ -255,6 +255,28 @@ class TestBandedTrainingPath:
         with pytest.raises(ValueError):
             Trainer(BANDED, TrainConfig(mp_path="nope"))
 
+    def test_vmem_gate_on_oversized_batch(self):
+        """mp_banded holds the whole flattened [B*N, F] node table in
+        VMEM; a batch/pad combination whose working set exceeds the
+        budget must raise for mp_path='banded' and fall back to gather
+        for 'auto' (instead of a runtime Mosaic allocation failure)."""
+        big = TrainConfig(mp_path="banded", batch_size=64, pad_to=512)
+        with pytest.raises(ValueError, match="VMEM"):
+            Trainer(BANDED, big)
+        tr = Trainer(BANDED, TrainConfig(mp_path="auto", batch_size=64,
+                                         pad_to=512))
+        assert not tr.use_banded
+        # the default training shape still fits (the gate must not
+        # disable the production fast path)
+        from nmrgnn_tpu.models.infer import fragment_band_plan
+        from nmrgnn_tpu.ops.banded import plan_fits_vmem
+
+        d = TrainConfig()
+        assert plan_fits_vmem(
+            fragment_band_plan(d.batch_size, d.pad_to),
+            BANDED.atom_feature_size,
+        )
+
 
 class TestNanRecovery:
     def test_nan_loss_recovers(self, samples):
