@@ -365,9 +365,9 @@ def eval_struct(struct_files, output_csv, model_file, neighbor_number, stride,
         if fast:
             click.echo(
                 "note: --fast is ignored with --graph-parallel (the "
-                "partitioned banded forward is its own path); "
-                "--precision fast still applies bf16 arithmetic there, "
-                "but not the Chebyshev edge stage",
+                "partitioned banded forward is its own pipelined path); "
+                "--precision fast applies bf16 arithmetic AND the "
+                "Chebyshev edge stage inside the per-shard band builds",
                 err=True,
             )
         mesh = make_mesh(

@@ -531,6 +531,15 @@ class ServingModel:
 
         config, mesh, axis = self.config, self.mesh, self.partition_axis
         interpret = self.interpret
+        # fast precision: the Chebyshev-compressed edge stage runs inside
+        # the per-shard band build kernels, same as single-chip serving
+        # (bilinear family only; the attention band needs exact e)
+        cheb = (
+            self._edge_cheb()
+            if banded and self.precision == "fast"
+            and config.mp_type != "attention"
+            else None
+        )
         if jax.process_count() == 1:
             fn = self._jit_cache.get(jkey)
             if fn is None:
@@ -540,6 +549,7 @@ class ServingModel:
                         return apply_partitioned_banded(
                             params, config, gp, plan, mesh,
                             axis=axis, interpret=interpret, arrays=arrays,
+                            cheb=cheb,
                         )
                 else:
                     @jax.jit
@@ -555,7 +565,7 @@ class ServingModel:
         elif banded:
             peaks = apply_partitioned_banded(
                 self.params, config, gp, plan, mesh,
-                axis=axis, interpret=interpret, arrays=arrays,
+                axis=axis, interpret=interpret, arrays=arrays, cheb=cheb,
             )
         else:
             peaks = apply_partitioned_halo(

@@ -1219,6 +1219,61 @@ def build_band_poly(
 # and the layer-1 node table.
 
 
+def build_band_poly_tracedlo(
+    nlist: jnp.ndarray,    # i32[M, K] (M multiple of block_rows)
+    edges: jnp.ndarray,    # f32[M, K] raw distances
+    cheb,                  # ops.edgefn.EdgeCheb
+    lo: jnp.ndarray,       # i32[T] traced window starts (T = M/B)
+    window: int,
+    block_rows: int = 128,
+    out_dtype=jnp.float32,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """build_band_tracedlo's Chebyshev twin: M [T, E, B, W] straight
+    from raw distances (the compressed edge stage evaluated inside the
+    build kernel), with traced per-tile window starts. Out-of-window
+    references never match a lane, so the partitioned forward uses it
+    for both the interior band (halo refs >= m excluded) and the halo
+    band (interior refs go negative after the -m shift and never
+    match). Masking is internal (d > 0), matching the exact edge
+    stage's edge_mask (reference model.py:229-233 padding semantics)."""
+    m, k = nlist.shape
+    assert m % block_rows == 0, (m, block_rows)
+    t = m // block_rows
+    e_ch = cheb.coeffs.shape[1]
+    coeffs = tuple(
+        tuple(float(c) for c in cheb.coeffs[:, n_]) for n_ in range(e_ch)
+    )
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(t,),
+        in_specs=[
+            pl.BlockSpec((block_rows, k), lambda i, lo: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block_rows, k), lambda i, lo: (i, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, e_ch, block_rows, window), lambda i, lo: (i, 0, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    kernel = functools.partial(
+        _poly_band_kernel,
+        coeffs=coeffs,
+        d_lo=cheb.d_lo,
+        d_hi=cheb.d_hi,
+        n_edge_channels=e_ch,
+        neighbor_k=k,
+        window=window,
+        block_rows=block_rows,
+    )
+    return pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((t, e_ch, block_rows, window), out_dtype),
+        interpret=interpret,
+    )(lo.astype(jnp.int32), nlist.astype(jnp.int32), edges)
+
+
 def _poly_build_tile(
     nlist_blk, edges_blk, lane0,
     *, coeffs, d_lo, d_hi, n_edge_channels, neighbor_k, window, block_rows,

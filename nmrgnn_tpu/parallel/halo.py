@@ -348,6 +348,7 @@ def apply_partitioned_banded(
     arrays=None,
     training: bool = False,
     rng=None,
+    cheb=None,
 ) -> jnp.ndarray:
     """Multi-chip forward with per-shard Pallas banded MP and overlapped
     halo exchange. Equals the single-device forward in f32. Serves both
@@ -355,6 +356,15 @@ def apply_partitioned_banded(
     attention (per-layer one-channel bands from the softmax weights,
     with the padding-mass rank-1 correction riding the halo's row-0
     slot).
+
+    ``cheb`` (an ops.edgefn.EdgeCheb, bilinear family, inference only):
+    replaces the per-shard exact RBF+EdgeFC edge stage with the
+    Chebyshev-compressed build evaluated INSIDE the band kernels
+    (ops/banded.build_band_poly_tracedlo) — the same fast edge stage the
+    single-chip serving path uses. On single chip the exact edge stage
+    dominated the banded layer cost (~150 us vs ~20 us roofline,
+    ops/banded.py); without this the partitioned forward re-paid it
+    every frame.
 
     ``training=True`` (requires ``rng``) applies the reference's
     training-time regularization — Gaussian distance noise before the
@@ -390,6 +400,7 @@ def apply_partitioned_banded(
     (see make_banded_halo_plan). ``interpret`` runs the Pallas kernels in
     interpreter mode (CPU tests / dryrun)."""
     from ..ops.banded import (
+        build_band_poly_tracedlo,
         build_band_tracedlo,
         build_band_tracedlo_df,
         mp_banded_partial,
@@ -399,6 +410,14 @@ def apply_partitioned_banded(
     if differentiable:
         build_band_tracedlo = build_band_tracedlo_df
         mp_banded_partial = mp_banded_partial_df
+    if cheb is not None and (
+        differentiable or training or config.mp_type == "attention"
+    ):
+        raise ValueError(
+            "cheb (compressed edge stage) is inference-only and bilinear-"
+            "family-only: the poly build has no custom VJP and the "
+            "attention family consumes the exact edge features"
+        )
     if training and rng is None:
         raise ValueError("training=True requires rng")
     if rng is None:
@@ -487,17 +506,34 @@ def apply_partitioned_banded(
             edges = edges + config.noise * jax.random.normal(
                 nrng, edges.shape, edges.dtype
             )
-        e = rbf_expand(edges, config.rbf_low, config.rbf_high, config.edge_hidden_size)
-        e = e * edge_mask
-        for i, lp in enumerate(p["edge_fc"]):
-            last = i == len(p["edge_fc"]) - 1
-            e = _dense(lp, e, None if last else fc_act)
-        e = e * edge_mask     # [m, K, E]
-
         # boundary-tile row ids (halo band rows, compacted by boundary_ids)
         rows = (bids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
         attention = config.mp_type == "attention"
-        if not attention:
+        if cheb is not None:
+            # fast edge stage: the Chebyshev-compressed EdgeFC evaluated
+            # inside the band build kernels, straight from distances —
+            # no [m, K, E] edge tensor materializes per shard
+            M_int = build_band_poly_tracedlo(
+                lnl, edges, cheb, lo, W, B,
+                out_dtype=compute_dtype, interpret=interpret,
+            )
+            M_halo = build_band_poly_tracedlo(
+                jnp.take(lnl, rows, axis=0) - m,
+                jnp.take(edges, rows, axis=0),
+                cheb, hlo, Wh, B,
+                out_dtype=compute_dtype, interpret=interpret,
+            )
+        else:
+            e = rbf_expand(
+                edges, config.rbf_low, config.rbf_high,
+                config.edge_hidden_size,
+            )
+            e = e * edge_mask
+            for i, lp in enumerate(p["edge_fc"]):
+                last = i == len(p["edge_fc"]) - 1
+                e = _dense(lp, e, None if last else fc_act)
+            e = e * edge_mask     # [m, K, E]
+        if not attention and cheb is None:
             # layer-invariant band structures, built once per forward:
             # interior refs (< m) land in the windowed band; halo refs
             # (>= m) fall outside every interior window and are excluded.

@@ -112,6 +112,45 @@ class TestHaloForward:
         )
         np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
 
+    @pytest.mark.parametrize("n_shards", [2, 4])
+    def test_banded_cheb_matches_single_chip_fast(self, graph_rcm, n_shards):
+        """--precision fast under --graph-parallel: the partitioned
+        forward with the Chebyshev edge stage inside the per-shard band
+        builds must match the single-chip fast path (apply_banded with
+        the same cheb) — VERDICT r4 item 4."""
+        from nmrgnn_tpu.models.infer import apply_banded, precompute_band
+        from nmrgnn_tpu.ops.edgefn import fit_edge_chebyshev
+
+        g, _ = graph_rcm
+        gp = pad_to_multiple(to_jnp(g), n_shards * 128)
+        params = init_params(jax.random.PRNGKey(0), CFG)
+        cheb = fit_edge_chebyshev(
+            params["edge_fc"], rbf_low=CFG.rbf_low, rbf_high=CFG.rbf_high,
+            rbf_count=CFG.edge_hidden_size, activation=CFG.fc_activation,
+            degree=64,
+        )
+        g_np = Graph(*[np.asarray(a) for a in gp])
+        sc_plan = precompute_band(g_np)
+        want = np.asarray(
+            apply_banded(params, CFG, gp, sc_plan, cheb=cheb, interpret=True)
+        )
+        plan = make_banded_halo_plan(
+            np.asarray(gp.nlist), np.asarray(gp.edges), n_shards
+        )
+        mesh = make_mesh(data=8 // n_shards, graph=n_shards)
+        got = np.asarray(
+            apply_partitioned_banded(
+                params, CFG, gp, plan, mesh, interpret=True, cheb=cheb
+            )
+        )
+        np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+        # inference-only / bilinear-only contract is loud
+        with pytest.raises(ValueError, match="inference-only"):
+            apply_partitioned_banded(
+                params, CFG, gp, plan, mesh, interpret=True, cheb=cheb,
+                differentiable=True,
+            )
+
     def test_banded_interior_excludes_halo_slots(self, graph_rcm):
         """Interior windows never cover workspace halo slots — the split
         is exact, not overlapping."""
