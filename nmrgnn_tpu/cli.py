@@ -206,7 +206,15 @@ def _dump_history(name, history):
 @click.option("--merge", default=None, help="merge results into a markdown table")
 @click.option("--batch-size", default=8)
 @click.option("--pad-to", default=256)
-def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_size, pad_to):
+@click.option(
+    "--mp-path", default="auto",
+    type=click.Choice(["auto", "gather", "banded"]),
+    help="MP math for the eval forward: the banded Pallas fast path "
+    "(the Trainer's eval path) or the XLA gather math; 'auto' picks "
+    "banded on TPU when eligible (mirrors `train`)",
+)
+def eval_tfrecords(tfrecords, model_file, validation, data_name, merge,
+                   batch_size, pad_to, mp_path):
     """Evaluate on fragment TFRecords; writes {model}.csv and a markdown
     table in the reference's format (reference main.py:99-189). Note the
     '-rmsd' columns are mean *squared* error, matching the reference's
@@ -232,7 +240,41 @@ def eval_tfrecords(tfrecords, model_file, validation, data_name, merge, batch_si
 
     import jax
 
-    fwd = jax.jit(lambda p, g: gnn.apply_batched(p, cfg, g))
+    from .train.trainer import banded_fragments_eligible
+
+    shape_ok, fits = banded_fragments_eligible(cfg, batch_size, pad_to)
+    if mp_path == "banded" and not (shape_ok and fits):
+        raise click.UsageError(
+            "--mp-path banded needs the bilinear MP family, 128-aligned "
+            "pad_to and atom_feature_size, and a batch working set that "
+            f"fits VMEM (shape_ok={shape_ok}, vmem_fit={fits})"
+        )
+    use_banded = mp_path == "banded" or (
+        mp_path == "auto" and shape_ok and fits
+        and jax.default_backend() == "tpu"
+    )
+    if use_banded:
+        # the Trainer's banded eval path (trainer._make_forwards):
+        # flattened batch + static fragment band plan, Pallas MP kernels
+        from .models.infer import apply_banded_fragments, fragment_band_plan
+
+        interp = jax.default_backend() != "tpu"
+        _fwd_cache = {}
+
+        def fwd(p, g):
+            b = g.atoms.shape[0]
+            fn = _fwd_cache.get(b)
+            if fn is None:
+                plan = fragment_band_plan(b, pad_to)
+                fn = jax.jit(
+                    lambda p, g, _plan=plan: apply_banded_fragments(
+                        p, cfg, g, plan=_plan, interpret=interp
+                    )
+                )
+                _fwd_cache[b] = fn
+            return fn(p, g)
+    else:
+        fwd = jax.jit(lambda p, g: gnn.apply_batched(p, cfg, g))
     loader = FragmentLoader(data, pad_to=pad_to, batch_size=batch_size, shuffle=False)
     element, prediction, shift, nm, class_name = [], [], [], [], []
     count = 0

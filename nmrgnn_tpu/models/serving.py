@@ -45,7 +45,7 @@ from ..graph import Graph
 from ..ops.banded import (
     band_plan,
     band_plan_frames,
-    fused_build_fits,
+    fused_build_ok,
     plan_covers,
     plan_fits_vmem,
 )
@@ -157,7 +157,7 @@ class ServingModel:
             if plan_fits_vmem(
                 plan, cfg.atom_feature_size, cfg.edge_feature_size,
                 dtype_bytes=dtype_bytes,
-            ) and fused_build_fits(
+            ) and fused_build_ok(
                 plan, cfg.edge_hidden_size, cfg.edge_feature_size,
                 g.nlist.shape[1], out_bytes=dtype_bytes,
             ):
@@ -687,7 +687,7 @@ class ServingModel:
                 )
                 and (
                     mode == "banded_attn"  # no fused edge kernel there
-                    or fused_build_fits(
+                    or fused_build_ok(
                         union, cfg.edge_hidden_size, cfg.edge_feature_size,
                         stack.nlist.shape[-1], out_bytes=dtype_bytes,
                     )

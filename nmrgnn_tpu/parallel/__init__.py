@@ -1,8 +1,11 @@
 from .halo import (
     apply_partitioned_banded,
+    apply_partitioned_banded_batch,
     apply_partitioned_halo,
     make_banded_halo_plan,
     make_halo_plan,
+    make_partitioned_epoch_fn,
+    make_partitioned_eval_fn,
     make_partitioned_train_step,
 )
 from .mesh import best_factorization, initialize_distributed, make_mesh
@@ -17,7 +20,10 @@ from .sharding import (
 
 __all__ = [
     "apply_partitioned_banded",
+    "apply_partitioned_banded_batch",
     "apply_partitioned_halo",
+    "make_partitioned_epoch_fn",
+    "make_partitioned_eval_fn",
     "make_banded_halo_plan",
     "make_halo_plan",
     "make_partitioned_train_step",

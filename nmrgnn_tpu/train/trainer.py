@@ -175,6 +175,37 @@ def load_train_checkpoint(path: str, tx, state: TrainState) -> TrainState:
     return state
 
 
+def banded_fragments_eligible(
+    config, batch_size: int, pad_to: int, dp: int = 1,
+    tensor_parallel: bool = False,
+) -> Tuple[bool, bool]:
+    """(shape_ok, vmem_fits) for the banded fragment fast path
+    (models/infer.apply_banded_fragments): the bilinear MP family with
+    128-aligned pad_to/F, and a flattened [batch/dp * pad_to, F] node
+    table + double-buffered band tiles that fit the VMEM budget —
+    mp_banded holds the whole table in VMEM, so an oversized
+    batch*pad_to*F combination busts Mosaic's allocation at runtime
+    unless gated here (exactly as serving gates the same kernel with
+    plan_fits_vmem). Shared by the Trainer's mp_path resolution and the
+    eval-tfrecords CLI."""
+    from ..models.infer import fragment_band_plan
+    from ..ops.banded import plan_fits_vmem
+
+    shape_ok = (
+        config.mp_type == "bilinear"
+        and pad_to % 128 == 0
+        and config.atom_feature_size % 128 == 0
+        and not tensor_parallel
+    )
+    fits = False
+    if shape_ok:
+        fits = plan_fits_vmem(
+            fragment_band_plan(max(batch_size // dp, 1), pad_to),
+            config.atom_feature_size,
+        )
+    return shape_ok, fits
+
+
 class Trainer:
     def __init__(
         self,
@@ -209,29 +240,11 @@ class Trainer:
         path = self.tcfg.mp_path
         if path == "gather":
             return False
-        from ..models.infer import fragment_band_plan
-        from ..ops.banded import plan_fits_vmem
-
-        shape_ok = (
-            self.config.mp_type == "bilinear"
-            and self.tcfg.pad_to % 128 == 0
-            and self.config.atom_feature_size % 128 == 0
-            and not self.tensor_parallel
+        dp = self.mesh.shape["data"] if self.mesh is not None else 1
+        shape_ok, fits = banded_fragments_eligible(
+            self.config, self.tcfg.batch_size, self.tcfg.pad_to,
+            dp=dp, tensor_parallel=self.tensor_parallel,
         )
-        # mp_banded keeps the whole flattened node table
-        # [batch/dp * pad_to, F] in VMEM alongside the double-buffered
-        # band tiles — a large batch*pad_to*F silently busts Mosaic's
-        # VMEM allocation at runtime unless gated here, exactly as
-        # serving gates the same kernel (serving.py plan_fits_vmem).
-        fits = False
-        if shape_ok:
-            dp = self.mesh.shape["data"] if self.mesh is not None else 1
-            fits = plan_fits_vmem(
-                fragment_band_plan(
-                    max(self.tcfg.batch_size // dp, 1), self.tcfg.pad_to
-                ),
-                self.config.atom_feature_size,
-            )
         eligible = shape_ok and fits
         if path == "banded":
             if not eligible:

@@ -543,6 +543,156 @@ def test_partitioned_trainer_attention_family():
     assert losses[-1] < losses[0], losses
 
 
+def _synthetic_frames(seed, n=296, k=8, n_frames=3):
+    from nmrgnn_tpu.data.dataset import Sample
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    rng = np.random.default_rng(seed)
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-25, 25, (n, k)), 0, n - 1
+    ).astype(np.int32)
+    base = rng.uniform(0.02, 0.19, (n, k)).astype(np.float32)
+    atoms = np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)]
+    inv = np.asarray(inv_degree_from_nlist(jnp.asarray(nlist)))
+    frames = []
+    for f in range(n_frames):
+        y = np.stack(
+            [rng.normal(size=n).astype(np.float32) * 3,
+             rng.integers(0, 6, n).astype(np.float32),
+             np.ones(n, np.float32)], axis=-1,
+        )
+        g = Graph(atoms=atoms, nlist=nlist,
+                  edges=base * (1.0 + 0.02 * f), inv_degree=inv)
+        frames.append(Sample(graph=g, y=y, w=np.ones(n, np.float32)))
+    return frames
+
+
+def test_partitioned_epoch_scan_matches_serial_steps():
+    """The compiled epoch (lax.scan over the device-resident frame
+    table, VERDICT r4 item 3) reproduces the serial per-step loop
+    exactly for a deterministic config (noise=0, dropout off) — both
+    unbatched and with (data=2)-batched steps against the serial
+    mean-gradient equivalent."""
+    import optax
+
+    from nmrgnn_tpu.config import TrainConfig
+    from nmrgnn_tpu.train.partitioned import PartitionedTrainer
+
+    frames = _synthetic_frames(7, n_frames=4)
+    mesh = make_mesh(data=2, graph=4)
+    tr = PartitionedTrainer(
+        CFG, TrainConfig(epochs=1, seed=0), mesh=mesh, interpret=True
+    )
+    preps = [tr.prepare(s) for s in frames]
+    assert len({p.shape_key for p in preps}) == 1
+    graphs, ys, ws, arrays = tr._stage_tables(preps)
+    params = tr.init_state().params
+    opt0 = tr._tx.init(params)
+    rngs = jax.random.split(jax.random.PRNGKey(3), 4)
+    order = jnp.asarray([2, 0, 3, 1], jnp.int32)
+
+    # serial reference: eager per-structure steps in the same order
+    step = tr._train_step(preps[0])
+    p_ref, o_ref = params, opt0
+    losses_ref = []
+    for i in [2, 0, 3, 1]:
+        p_ref, o_ref, loss = step(
+            p_ref, o_ref, preps[i].graph, preps[i].y, preps[i].w,
+            rngs[i], preps[i].arrays,
+        )
+        losses_ref.append(float(loss))
+
+    fn = tr._epoch_fn(preps[0], batched=False)
+    p_new, o_new, _, losses = fn(
+        params, opt0, params, graphs, ys, ws, rngs, arrays, order
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses), losses_ref, rtol=1e-5, atol=1e-7
+    )
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_new),
+        jax.tree_util.tree_leaves_with_path(p_ref),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+    # data-batched epoch: 2 scan steps of 2 structures each; each step
+    # applies the MEAN gradient of its pair
+    from nmrgnn_tpu.parallel import make_partitioned_train_step
+
+    bstep = make_partitioned_train_step(
+        tr.config, tr._tx, tr.loss_idx, preps[0].plan, mesh,
+        interpret=True, training=True, data_axis="data",
+    )
+    stack2 = lambda items: jax.tree_util.tree_map(
+        lambda *a: jnp.stack(a), *items
+    )
+    p_ref2, o_ref2 = params, opt0
+    losses_ref2 = []
+    for pair in ([2, 0], [3, 1]):
+        gpair = Graph(*[
+            jnp.stack([getattr(preps[i].graph, f) for i in pair])
+            for f in Graph._fields
+        ])
+        p_ref2, o_ref2, loss = bstep(
+            p_ref2, o_ref2, gpair,
+            jnp.stack([preps[i].y for i in pair]),
+            jnp.stack([preps[i].w for i in pair]),
+            jnp.stack([rngs[i] for i in pair]),
+            stack2([preps[i].arrays for i in pair]),
+        )
+        losses_ref2.append(float(loss))
+    fnb = tr._epoch_fn(preps[0], batched=True)
+    p_b, o_b, _, losses_b = fnb(
+        params, opt0, params, graphs, ys, ws, rngs, arrays, order
+    )
+    np.testing.assert_allclose(
+        np.asarray(losses_b), losses_ref2, rtol=1e-5, atol=1e-7
+    )
+    for (k, a), (_, b) in zip(
+        jax.tree_util.tree_leaves_with_path(p_b),
+        jax.tree_util.tree_leaves_with_path(p_ref2),
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=jax.tree_util.keystr(k),
+        )
+
+
+def test_partitioned_trainer_multiframe_fit_and_eval_scan():
+    """fit/evaluate over a multi-frame same-shape set drive the scanned
+    paths end-to-end (grouping, staging, batched + remainder chunks)
+    and still converge; evaluate matches the eager per-frame eval."""
+    from nmrgnn_tpu.config import TrainConfig
+    from nmrgnn_tpu.train.partitioned import PartitionedTrainer
+
+    frames = _synthetic_frames(8, n_frames=3)  # 3 = one batched pair + 1
+    mesh = make_mesh(data=2, graph=4)
+    tr = PartitionedTrainer(
+        CFG, TrainConfig(epochs=3, seed=0), mesh=mesh, interpret=True
+    )
+    assert tr.data_shards == 2
+    state = tr.fit(frames, frames[:2], verbose=False)
+    losses = state.history["loss"]
+    assert np.isfinite(losses).all()
+    assert losses[-1] < losses[0], losses
+    # scanned evaluate == eager per-frame eval
+    out = tr.evaluate(frames, state.eval_params)
+    total, nb = 0.0, 0
+    acc = None
+    for s in frames:
+        prep = tr.prepare(s)
+        loss, moments = tr._eval_step(prep)(
+            state.eval_params, prep.graph, prep.y, prep.w, prep.arrays
+        )
+        total += float(loss)
+        nb += 1
+        acc = np.asarray(moments) if acc is None else acc + np.asarray(moments)
+    assert out["loss"] == pytest.approx(total / nb, rel=1e-5)
+
+
 def test_partitioned_trainer_ema_and_restore_best():
     """TrainConfig.ema_decay / restore_best work for whole-structure
     training like they do for the fragment Trainer."""
