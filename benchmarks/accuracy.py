@@ -77,6 +77,10 @@ def main():
                          "runs use a fresh workdir + nonzero seed)")
     ap.add_argument("--out", default=None,
                     help="output markdown path (default ACCURACY.md)")
+    ap.add_argument("--head-decay", type=float, default=0.0,
+                    help="P-X mitigation experiment: L2 decay on the out "
+                         "head's N column during OUR training (the "
+                         "reference recipe is untouched)")
     args = ap.parse_args()
     wd = args.workdir
     os.makedirs(wd, exist_ok=True)
@@ -107,7 +111,9 @@ def main():
              "--batch-size", str(args.ours_batch),
              "--lr-schedule", "cosine", "--warmup-epochs", "5",
              "--ema-decay", "0.999", "--restore-best",
-             "--seed", str(args.seed)])
+             "--seed", str(args.seed)]
+            + (["--head-decay", str(args.head_decay)]
+               if args.head_decay > 0 else []))
 
     # our eval (eval-tfrecords writes model.csv in cwd; keep per-set copies)
     import shutil

@@ -71,10 +71,17 @@ def _jax():
               help="training-step message passing: banded = Pallas "
                    "custom-VJP fast path (~2x faster steps; auto-selected "
                    "on TPU), gather = XLA reference math")
+@click.option("--head-decay", default=0.0,
+              help="L2 decay on the out head's --head-decay-elements "
+                   "columns (out-of-vocabulary extrapolation damping; "
+                   "0 = off)")
+@click.option("--head-decay-elements", default="N",
+              help="comma-separated element letters for --head-decay")
 def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
           tensorboard, load, loss_balance, batch_size, pad_to, config_path,
           data_parallel, tensor_parallel, graph_parallel, lr_schedule,
-          warmup_epochs, ema_decay, restore_best, seed, mp_path):
+          warmup_epochs, ema_decay, restore_best, seed, mp_path,
+          head_decay, head_decay_elements):
     """Train the model on fragment TFRecords (reference main.py:36-90)."""
     from .config import ModelConfig, TrainConfig
     from .data.dataset import split_dataset
@@ -95,7 +102,8 @@ def train(tfrecords, name, epochs, checkpoint_path, embeddings, validation,
         checkpoint_path=checkpoint_path, batch_size=batch_size, pad_to=pad_to,
         lr_schedule=lr_schedule, warmup_epochs=warmup_epochs,
         ema_decay=ema_decay, restore_best=restore_best, seed=seed,
-        mp_path=mp_path,
+        mp_path=mp_path, head_decay=head_decay,
+        head_decay_elements=head_decay_elements,
     )
     click.echo(f"Loading from {len(tfrecords)} files")
     train_s, val_s = split_dataset(list(tfrecords), validation, cfg.num_elements)

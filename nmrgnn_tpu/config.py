@@ -120,6 +120,14 @@ class TrainConfig:
     # Eligibility for banded: bilinear MP family, pad_to and
     # atom_feature_size multiples of 128, no tensor parallelism.
     mp_path: str = "auto"
+    # Mild L2 decay on selected element COLUMNS of the out-head kernel
+    # (peaks head, [F, n_elements]): pulls those channels toward the
+    # frozen per-element mean (peak_avg), damping the extrapolation
+    # bias on untrained out-of-vocabulary atoms of that element (the
+    # P-X mitigation experiment, ACCURACY.md). 0 = off (default: the
+    # reference has no such regularizer).
+    head_decay: float = 0.0
+    head_decay_elements: str = "N"
     # Run each epoch as ONE jitted lax.scan over the stacked batches
     # (single device dispatch + single loss readback per epoch) instead
     # of per-batch dispatch. Large wall-clock win when dispatch latency

@@ -351,12 +351,27 @@ class Trainer:
         specs = self.metric_specs
         train_fwd, eval_fwd = self._make_forwards()
 
+        hd = self.tcfg.head_decay
+        hd_idx = ()
+        if hd > 0:
+            hd_idx = tuple(
+                self.embeddings["atom"][e.strip().upper()]
+                for e in self.tcfg.head_decay_elements.split(",")
+                if e.strip()
+            )
+
         def loss_fn(params, graph, y, w, rng):
             peaks = train_fwd(params, graph, rng)
             yt = fold_sample_weight(y, w)
-            return name_loss(
+            loss = name_loss(
                 yt.reshape(-1, 3), peaks.reshape(-1), loss_idx, s=s
             )
+            if hd > 0 and hd_idx:
+                # L2 on the selected out-head element columns (see
+                # TrainConfig.head_decay)
+                cols = params["out"]["kernel"][:, jnp.asarray(hd_idx)]
+                loss = loss + hd * jnp.sum(cols * cols)
+            return loss
 
         decay = self.tcfg.ema_decay
 
