@@ -280,6 +280,75 @@ def apply_banded(
     return _readout(params, config, atoms, nodes)
 
 
+def apply_banded_classes(
+    params,
+    config: ModelConfig,
+    graph: Graph,
+    cls_plan,                # ops.banded.BandClassPlan
+    cheb,                    # ops.edgefn.EdgeCheb
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """VMEM-node-table forward with CLASS-BUCKETED band windows: tiles
+    grouped by actual window need (ops/banded.band_plan_classes) so
+    narrow tiles stop paying the widest tile's band in BOTH the build
+    kernel and the MP matmul lanes. On the RCM-ordered 108M flagship
+    graph the per-tile need spans 240-818 rows against a uniform
+    W = 896 — the class plan (2 tiles @ 256, 10 @ 640, 8 @ 896) carries
+    ~21% less band build work and ~14% fewer MP window FLOPs.
+    Numerics match apply_banded(cheb=...) (same kernels, narrower
+    windows); the small-graph twin of apply_banded_hbm_classes (which
+    serves the >VMEM regime).
+
+    Per class c: build M_c [Tc, E, B, Wc] (Chebyshev edge stage inside
+    the build), one mp_banded_partial per MP layer against the shared
+    VMEM node table, rows reassembled by contiguous-run
+    dynamic_update_slice copies (ids are static per plan)."""
+    from ..ops.banded import build_band_poly_cls, mp_banded_partial
+
+    atoms, nlist, edges, inv_degree = graph
+    n = atoms.shape[0]
+    B = cls_plan.block_rows
+    compute_dtype = jnp.dtype(config.compute_dtype)
+    mp_act = get_activation(config.mp_activation)
+
+    Ms = [
+        build_band_poly_cls(
+            nlist, edges, cheb, c, B, cls_plan.n_padded,
+            out_dtype=compute_dtype, interpret=interpret,
+        )
+        for c in cls_plan.classes
+    ]
+    pad = cls_plan.n_padded - n
+    nodes = _dense(params["embed"], atoms)
+    nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
+    inv_col = jnp.pad(inv_degree, ((0, pad),))[:, None]
+
+    def place(acc, c, out_c):
+        cid = np.asarray(c.ids)
+        run_starts = np.nonzero(np.diff(cid, prepend=cid[0] - 2) != 1)[0]
+        run_ends = np.append(run_starts[1:], len(cid))
+        for a, b in zip(run_starts, run_ends):
+            blk = jax.lax.dynamic_slice(
+                out_c, (int(a) * B, 0), (int(b - a) * B, out_c.shape[-1])
+            )
+            acc = jax.lax.dynamic_update_slice(acc, blk, (int(cid[a]) * B, 0))
+        return acc
+
+    for p in params["mp"]:
+        w3 = p["w"].astype(compute_dtype)
+        acc = jnp.zeros((cls_plan.n_padded, nodes.shape[-1]), jnp.float32)
+        for c, M in zip(cls_plan.classes, Ms):
+            out_c = mp_banded_partial(
+                M, jnp.asarray(c.lo), nodes.astype(compute_dtype), w3,
+                interpret=interpret,
+            )
+            acc = place(acc, c, out_c)
+        nodes = mp_act(acc * inv_col) + nodes
+
+    nodes = nodes[:n].astype(jnp.float32)
+    return _readout(params, config, atoms, nodes)
+
+
 def apply_banded_hbm_classes(
     params,
     config: ModelConfig,

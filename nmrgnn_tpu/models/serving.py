@@ -123,6 +123,7 @@ class ServingModel:
         self._plan = None
         self._frames_plan = None  # union plan for batched predict_frames
         self._cls_plan = None     # class-bucketed plan (HBM fast path)
+        self._cls_plan_vmem = None  # class-bucketed plan (VMEM fast path)
         self._struct = None
         self._jit_cache = {}
         self.mesh = mesh
@@ -290,6 +291,64 @@ class ServingModel:
                 return None
         self._cls_plan = cls_plan
         return cls_plan
+
+    def _banded_cls_plan_vmem(self, g: Graph):
+        """Class-bucketed band plan for the VMEM fast path
+        (models/infer.apply_banded_classes): tiles grouped by window
+        need so narrow tiles skip the widest band in the build AND MP
+        kernels; None when any class's working set (full node table +
+        that class's band tile) escapes the VMEM budget."""
+        from ..ops.banded import (
+            BandPlan,
+            band_plan_classes,
+            class_plan_covers,
+            plan_fits_vmem,
+        )
+
+        if self._cls_plan_vmem is not None and class_plan_covers(
+            self._cls_plan_vmem, g.nlist, g.edges
+        ):
+            return self._cls_plan_vmem
+        cls_plan = band_plan_classes(
+            g.nlist, g.edges, block_rows=self.block_size
+        )
+        cfg = self.config
+        b = np.dtype(cfg.compute_dtype).itemsize
+        for c in cls_plan.classes:
+            probe = BandPlan(
+                lo=c.lo, window=c.window, block_rows=cls_plan.block_rows,
+                n_padded=cls_plan.n_padded,
+            )
+            if not plan_fits_vmem(
+                probe, cfg.atom_feature_size, cfg.edge_feature_size,
+                dtype_bytes=b,
+            ):
+                return None
+        self._cls_plan_vmem = cls_plan
+        return cls_plan
+
+    def _banded_cls_vmem_fwd(self, cls_plan):
+        key = (
+            "banded_cls_vmem", cls_plan.n_padded, cls_plan.block_rows,
+            tuple((tuple(c.ids), c.window) for c in cls_plan.classes),
+        )
+        fn = self._jit_cache.get(key)
+        if fn is None:
+            from .infer import apply_banded_classes
+
+            config = self.config
+            cheb = self._edge_cheb()
+            interpret = self.interpret
+
+            @jax.jit
+            def fn(params, graph):
+                return apply_banded_classes(
+                    params, config, graph, cls_plan, cheb,
+                    interpret=interpret,
+                )
+
+            self._jit_cache[key] = fn
+        return fn
 
     def _banded_hbm_cls_fwd(self, cls_plan):
         """Compiled class-bucketed forward as ``run(params, graph)``.
@@ -610,6 +669,19 @@ class ServingModel:
                     )
                 else:
                     peaks = self._banded_fwd(plan, hbm=True)(
+                        self.params, gj, jnp.asarray(plan.lo)
+                    )
+            elif mode == "banded" and self.precision == "fast":
+                cls_plan = self._banded_cls_plan_vmem(g)
+                if cls_plan is not None and len(cls_plan.classes) > 1:
+                    # skewed window distribution: the class-bucketed
+                    # VMEM forward skips the widest tile's band work
+                    # on the narrow tiles
+                    peaks = self._banded_cls_vmem_fwd(cls_plan)(
+                        self.params, gj
+                    )
+                else:
+                    peaks = self._banded_fwd(plan, hbm=False)(
                         self.params, gj, jnp.asarray(plan.lo)
                     )
             else:

@@ -534,6 +534,48 @@ def test_apply_banded_hbm_classes_matches_gather():
     np.testing.assert_allclose(got2, want, rtol=2e-4, atol=2e-4)
 
 
+def test_apply_banded_classes_vmem_matches_gather():
+    """The class-bucketed VMEM forward (narrow tiles skip the widest
+    tile's band in the build AND the MP lanes) equals the gather
+    forward — the small-graph twin of the HBM class path."""
+    from nmrgnn_tpu import ModelConfig, init_params
+    from nmrgnn_tpu.data.embeddings import load_standards
+    from nmrgnn_tpu.models import gnn
+    from nmrgnn_tpu.models.infer import apply_banded_classes
+    from nmrgnn_tpu.ops.banded import band_plan_classes
+    from nmrgnn_tpu.ops.edgefn import fit_edge_chebyshev
+
+    cfg = ModelConfig(dropout=False, noise=0.0)
+    rng = np.random.default_rng(7)
+    n, k = 520, 12
+    spread = np.where(np.arange(n) % 4 == 0, 180, 30)
+    nlist = np.clip(
+        np.arange(n)[:, None]
+        + rng.integers(-1, 2, (n, k)) * spread[:, None]
+        + rng.integers(-20, 20, (n, k)),
+        0, n - 1,
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.19, (n, k)).astype(np.float32)
+    dists[:, -2:] = 0.0
+    inv = np.asarray(inv_degree_from_nlist(jnp.asarray(nlist)))
+    g = Graph(*[jnp.asarray(a) for a in (
+        np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist, dists, inv)])
+    params = init_params(jax.random.PRNGKey(0), cfg, load_standards())
+    cheb = fit_edge_chebyshev(
+        params["edge_fc"], rbf_low=cfg.rbf_low, rbf_high=cfg.rbf_high,
+        rbf_count=cfg.edge_hidden_size, activation=cfg.fc_activation,
+        degree=64,
+    )
+    cls_plan = band_plan_classes(nlist, dists)
+    assert len(cls_plan.classes) > 1  # the skew actually made classes
+    want = np.asarray(gnn.apply(params, cfg, g))
+    got = np.asarray(
+        apply_banded_classes(params, cfg, g, cls_plan, cheb, interpret=True)
+    )
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
 def test_fused_build_gate_calibration():
     """fused_build_fits must reject the configurations MEASURED to
     scoped-VMEM-OOM on v5e (W=1280 f32 at B=128: 17.08 MB vs 16 MB

@@ -521,6 +521,45 @@ def test_serving_hbm_selects_class_bucketed_fast_path(monkeypatch):
     assert called["plan"] is cls_plan
 
 
+def test_serving_vmem_selects_class_bucketed_fast_path(monkeypatch):
+    """At VMEM scale with precision='fast' and a skewed window
+    distribution, serving dispatches the class-bucketed VMEM forward
+    (apply_banded_classes) instead of paying the uniform widest-window
+    band on every tile."""
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    rng = np.random.default_rng(3)
+    n, k = 2048, 8
+    spread = np.where(np.arange(n) % 4 == 0, 150, 25)
+    nlist = np.clip(
+        np.arange(n)[:, None] + rng.integers(-1, 2, (n, k)) * spread[:, None]
+        + rng.integers(-15, 15, (n, k)),
+        0, n - 1,
+    ).astype(np.int32)
+    dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+    g = Graph(
+        atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+        nlist=nlist, edges=dists,
+        inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+    )
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False,
+                      precision="fast")
+    assert sm._resolve_mode(g) == "banded"
+    cls_plan = sm._banded_cls_plan_vmem(g)
+    assert cls_plan is not None and len(cls_plan.classes) > 1
+    assert sm._banded_cls_plan_vmem(g) is cls_plan  # verify-and-reuse
+    called = {}
+
+    def stub(plan):
+        called["plan"] = plan
+        return lambda p, gj: np.zeros(plan.n_padded, np.float32)
+
+    monkeypatch.setattr(sm, "_banded_cls_vmem_fwd", stub)
+    sm.predict(g)
+    assert called["plan"] is cls_plan
+
+
 def test_serving_hbm_cls_static_then_traced_dispatch():
     """The first compile for a class-plan shape bakes ids/lo statically
     (contiguous-run reassembly); only a REBUILT same-shape plan gets the
