@@ -104,8 +104,20 @@ def measure(iters=ITERS, warmup=WARMUP, fast=True, quick=False):
         )
         config = config.replace(compute_dtype="bfloat16")
 
-        def forward(params, g2):
-            return apply_banded(params, config, g2, plan, cheb=cheb)
+        # production serving pick (ServingModel fast precision): the
+        # class-bucketed VMEM forward when the window distribution is
+        # skewed (108M: 2 tiles @ 256 / 10 @ 640 / 8 @ 896 vs a uniform
+        # W=896 — measured ~9% faster interleaved), else uniform banded
+        from nmrgnn_tpu.models.infer import apply_banded_classes
+        from nmrgnn_tpu.ops.banded import band_plan_classes
+
+        cls_plan = band_plan_classes(g_np.nlist, g_np.edges)
+        if len(cls_plan.classes) > 1:
+            def forward(params, g2):
+                return apply_banded_classes(params, config, g2, cls_plan, cheb)
+        else:
+            def forward(params, g2):
+                return apply_banded(params, config, g2, plan, cheb=cheb)
     else:
 
         def forward(params, g2):

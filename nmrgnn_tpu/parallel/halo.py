@@ -132,11 +132,17 @@ def _global_params(params, mesh: Mesh):
     return jax.tree_util.tree_map(leaf, params)
 
 
+class PlanShapeMismatch(ValueError):
+    """A ``like`` plan's shape envelope cannot cover this frame."""
+
+
 def make_halo_plan(
     nlist: np.ndarray,
     n_shards: int,
     halo_multiple: int = 8,
     edges=None,
+    force_offsets=None,
+    force_halo_sizes=None,
 ) -> HaloPlan:
     """Build the ring-exchange plan on host. Atom count must divide
     n_shards. ``edges`` (distances; > 0 = real, SURVEY.md C1) restricts
@@ -146,7 +152,14 @@ def make_halo_plan(
 
     Vectorized per requester shard (unique + searchsorted) — no
     per-boundary-edge Python loop, so whole-protein multi-host plans
-    build in O(D * N*K log) numpy time."""
+    build in O(D * N*K log) numpy time.
+
+    ``force_offsets``/``force_halo_sizes``: adopt an existing plan's
+    ring-shape envelope (offset set + per-offset capacities) so a new
+    trajectory frame's plan shares the old plan's SHAPES — its arrays
+    then ride as traced operands through the old compilation
+    (train/partitioned.py frame grouping). Raises PlanShapeMismatch
+    when this frame's traffic does not fit the envelope."""
     nlist = np.asarray(nlist)
     n, k = nlist.shape
     if n % n_shards:
@@ -174,10 +187,21 @@ def make_halo_plan(
                 pair_rows[(s, t)] = u[gs[s] : ge[s]]
                 counts[(t - s) % D] = max(counts[(t - s) % D], ge[s] - gs[s])
 
-    offsets = tuple(int(o) for o in range(1, D) if counts[o] > 0)
-    halo_sizes = tuple(
-        int(_round_up(int(counts[o]), halo_multiple)) for o in offsets
-    )
+    if force_offsets is not None:
+        need = {int(o): int(counts[o]) for o in range(1, D) if counts[o] > 0}
+        cap = dict(zip(force_offsets, force_halo_sizes))
+        for o, c in need.items():
+            if cap.get(o, 0) < c:
+                raise PlanShapeMismatch(
+                    f"offset {o} needs {c} rows, envelope has {cap.get(o, 0)}"
+                )
+        offsets = tuple(force_offsets)
+        halo_sizes = tuple(force_halo_sizes)
+    else:
+        offsets = tuple(int(o) for o in range(1, D) if counts[o] > 0)
+        halo_sizes = tuple(
+            int(_round_up(int(counts[o]), halo_multiple)) for o in offsets
+        )
     send_idx = tuple(np.zeros((D, h), np.int32) for h in halo_sizes)
     base = {}
     acc = m
@@ -259,16 +283,36 @@ def make_banded_halo_plan(
     block_rows: int = 128,
     align: int = 128,
     w_buckets=(256, 384, 512, 640, 768, 896, 1024, 1280, 1536, 2048),
+    like: "BandedHaloPlan" = None,
 ) -> BandedHaloPlan:
     """Build the banded multi-chip plan. The graph should be RCM-ordered
     (data.reorder.rcm_order) so interior windows stay narrow and halos
     concentrate at shard boundaries; atom count must be a multiple of
-    n_shards * block_rows."""
+    n_shards * block_rows.
+
+    ``like``: adopt an existing plan's SHAPE envelope (ring offsets +
+    halo capacities, window, halo window, boundary-tile count) so
+    same-trajectory frames produce shape-identical plans whose arrays
+    ride as traced operands through ONE compiled step/scan — without
+    this every frame's plan re-buckets independently and a 10-frame
+    trajectory fragments into several compilation groups
+    (train/partitioned.py). Raises PlanShapeMismatch when this frame
+    escapes the envelope (callers fall back to a fresh plan)."""
     nlist = np.asarray(nlist)
     edges = np.asarray(edges)
     n, k = nlist.shape
+    if like is not None and (
+        like.halo.n_shards != n_shards
+        or like.halo.rows_per_shard * n_shards != n
+        or like.block_rows != block_rows
+    ):
+        raise PlanShapeMismatch("shard/row geometry differs from `like`")
     # halo slots padded to full lanes so the halo block matmul is tiled
-    base = make_halo_plan(nlist, n_shards, halo_multiple=align, edges=edges)
+    base = make_halo_plan(
+        nlist, n_shards, halo_multiple=align, edges=edges,
+        force_offsets=like.halo.offsets if like is not None else None,
+        force_halo_sizes=like.halo.halo_sizes if like is not None else None,
+    )
     m = base.rows_per_shard
     if m % block_rows:
         raise ValueError(
@@ -310,11 +354,23 @@ def make_banded_halo_plan(
         return max(min(w, cap), 128)
 
     w = bucket(int(need.max()) if need.size else align, m)
+    if like is not None:
+        if w > like.window:
+            raise PlanShapeMismatch(
+                f"interior window needs {w}, envelope has {like.window}"
+            )
+        w = like.window
     lo = np.minimum(lo, max(m - w, 0))
 
     # boundary-tile compaction: uniform count across shards (SPMD), padded
     # with non-boundary tiles whose halo band is all-zero (no refs >= m)
     tb = max(int(is_boundary.sum(axis=1).max()), 1)
+    if like is not None:
+        if tb > like.num_boundary_tiles:
+            raise PlanShapeMismatch(
+                f"{tb} boundary tiles, envelope has {like.num_boundary_tiles}"
+            )
+        tb = like.num_boundary_tiles
     boundary_ids = np.zeros((n_shards, tb), np.int64)
     for s in range(n_shards):
         ids = np.nonzero(is_boundary[s])[0]
@@ -323,6 +379,12 @@ def make_banded_halo_plan(
         padded = np.concatenate([ids, np.full(tb - len(ids), pad_id)])
         boundary_ids[s] = padded
     wh = bucket(int(h_need.max()) if h_need.size else align, dh)
+    if like is not None:
+        if wh > like.halo_window:
+            raise PlanShapeMismatch(
+                f"halo window needs {wh}, envelope has {like.halo_window}"
+            )
+        wh = like.halo_window
     h_lo = np.minimum(h_lo, max(dh - wh, 0))
     halo_lo = np.take_along_axis(h_lo, boundary_ids, axis=1)
     return BandedHaloPlan(

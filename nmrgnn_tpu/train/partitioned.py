@@ -134,6 +134,11 @@ class PartitionedTrainer:
         # staged same-shape frame tables for the compiled epoch/eval
         # scans (stacked copies of the preps' device arrays)
         self._tables: Dict[tuple, tuple] = {}
+        # per-atom-count plan SHAPE envelope: same-size frames rebuild
+        # their plans inside one envelope (arrays rebuilt per frame,
+        # riding as traced operands) so a trajectory lands in ONE
+        # compiled scan group instead of re-bucketing per frame
+        self._plan_like: Dict[int, BandedHaloPlan] = {}
         # structures per step on the mesh's data axis (1 = no batching)
         self.data_shards = (
             int(mesh.shape["data"])
@@ -170,9 +175,23 @@ class PartitionedTrainer:
         )
         y = np.pad(y, ((0, pad), (0, 0)))
         w = np.pad(w, ((0, pad),))
-        plan = make_banded_halo_plan(
-            gp.nlist, gp.edges, self.n_shards, block_rows=self.block_rows
-        )
+        from ..parallel.halo import PlanShapeMismatch
+
+        like = self._plan_like.get(gp.atoms.shape[0])
+        plan = None
+        if like is not None:
+            try:
+                plan = make_banded_halo_plan(
+                    gp.nlist, gp.edges, self.n_shards,
+                    block_rows=self.block_rows, like=like,
+                )
+            except PlanShapeMismatch:
+                plan = None  # this frame escapes the envelope
+        if plan is None:
+            plan = make_banded_halo_plan(
+                gp.nlist, gp.edges, self.n_shards, block_rows=self.block_rows
+            )
+            self._plan_like[gp.atoms.shape[0]] = plan
         arrays = (
             plan.halo.send_idx, plan.halo.local_nlist, plan.lo,
             plan.boundary_ids, plan.halo_lo,
@@ -232,13 +251,73 @@ class PartitionedTrainer:
         return step
 
     # -- compiled epoch/eval scans -----------------------------------------
+    @staticmethod
+    def _union_envelope(plans: Sequence[BandedHaloPlan]) -> BandedHaloPlan:
+        """Synthetic plan carrying the elementwise-max SHAPE envelope of
+        ``plans`` (offset union, per-offset capacity max, window/halo
+        window/boundary-tile max) — only its shape fields are read, as
+        the ``like=`` argument of make_banded_halo_plan."""
+        from ..parallel.halo import HaloPlan
+
+        caps: Dict[int, int] = {}
+        for p in plans:
+            for o, h in zip(p.halo.offsets, p.halo.halo_sizes):
+                caps[o] = max(caps.get(o, 0), h)
+        offsets = tuple(sorted(caps))
+        d = plans[0].halo.n_shards
+        m = plans[0].halo.rows_per_shard
+        tb = max(p.num_boundary_tiles for p in plans)
+        return BandedHaloPlan(
+            halo=HaloPlan(
+                offsets=offsets,
+                send_idx=tuple(
+                    np.zeros((d, caps[o]), np.int32) for o in offsets
+                ),
+                local_nlist=np.zeros((d, 0, 0), np.int32),
+                halo_sizes=tuple(caps[o] for o in offsets),
+                n_shards=d,
+                rows_per_shard=m,
+            ),
+            lo=np.zeros((d, m // plans[0].block_rows), np.int32),
+            window=max(p.window for p in plans),
+            block_rows=plans[0].block_rows,
+            boundary_ids=np.zeros((d, tb), np.int32),
+            halo_lo=np.zeros((d, tb), np.int32),
+            halo_window=max(p.halo_window for p in plans),
+        )
+
     def _group(self, samples: Sequence[Sample]):
         """Prepare every sample and group the preps by plan shape_key —
-        frames within a group share one compiled scan."""
+        frames within a group share one compiled scan.
+
+        Two-pass: when same-size frames fragment across several plan
+        shapes (trajectory frames re-bucket independently), the union
+        SHAPE envelope is cached and the fragmented frames re-prepare
+        inside it, collapsing them into one scan group — one readback
+        and one compilation instead of one per bucket. (Narrow frames
+        then compute at the envelope's window; on a dispatch-bound
+        tunneled chip the fewer round trips win by far.)"""
         groups: Dict[tuple, List[PreparedStructure]] = {}
+        sample_of: Dict[int, Sample] = {}
         for s in samples:
             prep = self.prepare(s)
             groups.setdefault(prep.shape_key, []).append(prep)
+            sample_of[id(prep)] = s
+        by_n: Dict[int, list] = {}
+        for key, preps in groups.items():
+            by_n.setdefault(preps[0].graph.atoms.shape[0], []).append(key)
+        for n, keys in by_n.items():
+            if len(keys) < 2:
+                continue
+            frag = [p for k in keys for p in groups[k]]
+            self._plan_like[n] = self._union_envelope([p.plan for p in frag])
+            for k in keys:
+                del groups[k]
+            for p in frag:
+                s = sample_of[id(p)]
+                self._prepared.pop(id(s), None)  # force re-prepare
+                prep = self.prepare(s)
+                groups.setdefault(prep.shape_key, []).append(prep)
         return groups
 
     def _stage_tables(self, preps: Sequence[PreparedStructure]):
