@@ -567,7 +567,62 @@ def _synthetic_frames(seed, n=296, k=8, n_frames=3):
     return frames
 
 
-def test_partitioned_epoch_scan_matches_serial_steps():
+def test_plan_shape_envelope_and_group_collapse():
+    """make_banded_halo_plan(like=...) rebuilds a frame's plan inside an
+    existing SHAPE envelope (same shape_key -> one compiled scan group),
+    raises PlanShapeMismatch when the frame escapes, and
+    PartitionedTrainer._group's union pass collapses fragmented
+    same-size frames into one group (the 5.7x epoch win's enabler)."""
+    from nmrgnn_tpu.config import TrainConfig
+    from nmrgnn_tpu.parallel.halo import PlanShapeMismatch
+    from nmrgnn_tpu.train.partitioned import PartitionedTrainer
+
+    frames = _synthetic_frames(9, n=1024, k=8, n_frames=2)
+    g = frames[0].graph
+    n = g.atoms.shape[0]
+    pad = (-n) % (2 * 128)
+    nl = np.pad(np.asarray(g.nlist), ((0, pad), (0, 0)))
+    ed = np.pad(np.asarray(g.edges), ((0, pad), (0, 0)))
+    plan = make_banded_halo_plan(nl, ed, 2)
+    # same topology fits the envelope and adopts its shapes exactly
+    reb = make_banded_halo_plan(nl, ed * 1.01, 2, like=plan)
+    assert reb.window == plan.window
+    assert reb.halo_window == plan.halo_window
+    assert reb.num_boundary_tiles == plan.num_boundary_tiles
+    assert reb.halo.halo_sizes == plan.halo.halo_sizes
+    # a frame with far-flung references escapes loudly
+    nl_far = nl.copy()
+    nl_far[10, 0] = nl.shape[0] - 1  # reference across the whole table
+    with pytest.raises(PlanShapeMismatch):
+        make_banded_halo_plan(nl_far, ed, 2, like=plan)
+
+    # _group union pass: two frames whose fresh plans would differ in
+    # shape end up in ONE group after re-preparation
+    mesh = make_mesh(data=1, graph=2)
+    tr = PartitionedTrainer(CFG, TrainConfig(seed=0), mesh=mesh,
+                            interpret=True)
+    import dataclasses
+
+    far = frames[1].graph
+    nlist2 = np.asarray(far.nlist).copy()
+    # widen frame 2's INTERIOR band (shard-local long-range refs) so its
+    # fresh window buckets differently from frame 1's
+    rows = np.arange(300, 500, 3)
+    nlist2[rows, -1] = 5
+    frames[1] = dataclasses.replace(
+        frames[1], graph=far._replace(nlist=nlist2)
+    )
+    # the two frames' FRESH plans must actually differ in shape (else
+    # this test would pass trivially without exercising the union pass)
+    p1 = tr.prepare(frames[0])
+    tr._plan_like.clear()
+    tr._prepared.clear()
+    p2 = tr.prepare(frames[1])
+    assert p1.shape_key != p2.shape_key, p1.shape_key
+    tr._plan_like.clear()
+    tr._prepared.clear()
+    groups = tr._group(frames)
+    assert len(groups) == 1, {k: len(v) for k, v in groups.items()}
     """The compiled epoch (lax.scan over the device-resident frame
     table, VERDICT r4 item 3) reproduces the serial per-step loop
     exactly for a deterministic config (noise=0, dropout off) — both
