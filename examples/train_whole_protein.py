@@ -47,8 +47,11 @@ def main():
     mesh = make_mesh(data=n_dev // graph_ax, graph=graph_ax)
     print(f"mesh: {dict(mesh.shape)}")
 
-    # 3) train the intact protein — one whole-structure optimizer step
-    # per record, RCM-partitioned, ring halo exchange each MP layer
+    # 3) train the intact protein. Epochs compile to ONE lax.scan over a
+    # device-resident frame table (one loss readback per epoch; frames
+    # share a plan-shape envelope so the whole trajectory is one scan
+    # group), and with data > 1 each data shard trains its OWN frame
+    # concurrently — the step applies the mean gradient of the batch.
     trainer = PartitionedTrainer(
         ModelConfig(), TrainConfig(epochs=10, seed=0), mesh=mesh
     )
