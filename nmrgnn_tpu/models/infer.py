@@ -286,6 +286,7 @@ def apply_banded_classes(
     graph: Graph,
     cls_plan,                # ops.banded.BandClassPlan
     cheb,                    # ops.edgefn.EdgeCheb
+    arrays=None,             # traced (ids, lo) pairs overriding the plan's
     interpret: bool = False,
 ) -> jnp.ndarray:
     """VMEM-node-table forward with CLASS-BUCKETED band windows: tiles
@@ -302,7 +303,12 @@ def apply_banded_classes(
     Per class c: build M_c [Tc, E, B, Wc] (Chebyshev edge stage inside
     the build), one mp_banded_partial per MP layer against the shared
     VMEM node table, rows reassembled by contiguous-run
-    dynamic_update_slice copies (ids are static per plan)."""
+    dynamic_update_slice copies (ids are static per plan).
+
+    ``arrays``: optional tuple of per-class (ids, lo) traced arrays so a
+    rebuilt same-shape plan (trajectory frames) reuses the compilation
+    (general-scatter reassembly on that path, cf.
+    apply_banded_hbm_classes)."""
     from ..ops.banded import build_band_poly_cls, mp_banded_partial
 
     atoms, nlist, edges, inv_degree = graph
@@ -310,39 +316,48 @@ def apply_banded_classes(
     B = cls_plan.block_rows
     compute_dtype = jnp.dtype(config.compute_dtype)
     mp_act = get_activation(config.mp_activation)
+    if arrays is None:
+        arrays = tuple((None, None) for _ in cls_plan.classes)
 
     Ms = [
         build_band_poly_cls(
             nlist, edges, cheb, c, B, cls_plan.n_padded,
-            out_dtype=compute_dtype, interpret=interpret,
+            ids=ids, lo=lo, out_dtype=compute_dtype, interpret=interpret,
         )
-        for c in cls_plan.classes
+        for c, (ids, lo) in zip(cls_plan.classes, arrays)
     ]
     pad = cls_plan.n_padded - n
     nodes = _dense(params["embed"], atoms)
     nodes = jnp.pad(nodes, ((0, pad), (0, 0)))
     inv_col = jnp.pad(inv_degree, ((0, pad),))[:, None]
 
-    def place(acc, c, out_c):
-        cid = np.asarray(c.ids)
-        run_starts = np.nonzero(np.diff(cid, prepend=cid[0] - 2) != 1)[0]
-        run_ends = np.append(run_starts[1:], len(cid))
-        for a, b in zip(run_starts, run_ends):
-            blk = jax.lax.dynamic_slice(
-                out_c, (int(a) * B, 0), (int(b - a) * B, out_c.shape[-1])
-            )
-            acc = jax.lax.dynamic_update_slice(acc, blk, (int(cid[a]) * B, 0))
-        return acc
+    def place(acc, c, ids, out_c):
+        if ids is None:
+            cid = np.asarray(c.ids)
+            run_starts = np.nonzero(np.diff(cid, prepend=cid[0] - 2) != 1)[0]
+            run_ends = np.append(run_starts[1:], len(cid))
+            for a, b in zip(run_starts, run_ends):
+                blk = jax.lax.dynamic_slice(
+                    out_c, (int(a) * B, 0), (int(b - a) * B, out_c.shape[-1])
+                )
+                acc = jax.lax.dynamic_update_slice(
+                    acc, blk, (int(cid[a]) * B, 0)
+                )
+            return acc
+        rows = (ids[:, None] * B + jnp.arange(B)[None, :]).reshape(-1)
+        return acc.at[rows].set(out_c)
 
     for p in params["mp"]:
         w3 = p["w"].astype(compute_dtype)
         acc = jnp.zeros((cls_plan.n_padded, nodes.shape[-1]), jnp.float32)
-        for c, M in zip(cls_plan.classes, Ms):
+        for (c, (ids, lo)), M in zip(zip(cls_plan.classes, arrays), Ms):
             out_c = mp_banded_partial(
-                M, jnp.asarray(c.lo), nodes.astype(compute_dtype), w3,
+                M,
+                jnp.asarray(c.lo) if lo is None else lo,
+                nodes.astype(compute_dtype), w3,
                 interpret=interpret,
             )
-            acc = place(acc, c, out_c)
+            acc = place(acc, c, ids, out_c)
         nodes = mp_act(acc * inv_col) + nodes
 
     nodes = nodes[:n].astype(jnp.float32)

@@ -331,27 +331,56 @@ class ServingModel:
         return cls_plan
 
     def _banded_cls_vmem_fwd(self, cls_plan):
+        """Compiled class-bucketed VMEM forward as ``run(params, graph)``.
+
+        Keyed by the plan's SHAPE signature only — a rebuilt same-shape
+        plan (trajectory frame whose band escaped class_plan_covers)
+        must not recompile the whole forward per frame or grow
+        _jit_cache unboundedly. Like the HBM twin, the first compile
+        bakes ids/lo statically (contiguous-run reassembly); rebuilt
+        same-shape plans take a traced-(ids, lo) variant."""
+        import jax.numpy as jnp
+
+        from .infer import apply_banded_classes
+
         key = (
             "banded_cls_vmem", cls_plan.n_padded, cls_plan.block_rows,
-            tuple((tuple(c.ids), c.window) for c in cls_plan.classes),
+            tuple((len(c.ids), c.window) for c in cls_plan.classes),
         )
-        fn = self._jit_cache.get(key)
-        if fn is None:
-            from .infer import apply_banded_classes
-
-            config = self.config
-            cheb = self._edge_cheb()
-            interpret = self.interpret
+        config = self.config
+        cheb = self._edge_cheb()
+        interpret = self.interpret
+        ent = self._jit_cache.get(key)
+        if ent is None:
 
             @jax.jit
-            def fn(params, graph):
+            def fn_static(params, graph):
                 return apply_banded_classes(
                     params, config, graph, cls_plan, cheb,
                     interpret=interpret,
                 )
 
-            self._jit_cache[key] = fn
-        return fn
+            ent = {"plan": cls_plan, "static": fn_static, "traced": None}
+            self._jit_cache[key] = ent
+        if ent["plan"] is cls_plan:
+            return ent["static"]
+        if ent["traced"] is None:
+            baked = ent["plan"]  # same shape signature as cls_plan
+
+            @jax.jit
+            def fn_traced(params, graph, arrays):
+                return apply_banded_classes(
+                    params, config, graph, baked, cheb, arrays=arrays,
+                    interpret=interpret,
+                )
+
+            ent["traced"] = fn_traced
+        traced = ent["traced"]
+        arrays = tuple(
+            (jnp.asarray(c.ids), jnp.asarray(c.lo))
+            for c in cls_plan.classes
+        )
+        return lambda params, graph: traced(params, graph, arrays)
 
     def _banded_hbm_cls_fwd(self, cls_plan):
         """Compiled class-bucketed forward as ``run(params, graph)``.

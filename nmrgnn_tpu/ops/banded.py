@@ -390,8 +390,12 @@ def fused_build_compiles(
         return None
     import jaxlib
 
+    # keyed by toolchain AND device generation: scoped-VMEM budgets
+    # differ across TPU kinds, so a verdict must not leak between them
     key = "/".join(map(str, (
-        jax.__version__, jaxlib.__version__, block_rows, window,
+        jax.__version__, jaxlib.__version__,
+        jax.devices()[0].device_kind.replace("/", "_"),
+        block_rows, window,
         edge_hidden, n_edge_channels, neighbor_k, out_bytes,
         edge_fc_layers,
     )))

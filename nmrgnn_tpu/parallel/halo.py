@@ -461,25 +461,6 @@ def apply_partitioned_banded(
     The graph must be RCM-ordered and padded to D * rows_per_shard atoms
     (see make_banded_halo_plan). ``interpret`` runs the Pallas kernels in
     interpreter mode (CPU tests / dryrun)."""
-    from ..ops.banded import (
-        build_band_poly_tracedlo,
-        build_band_tracedlo,
-        build_band_tracedlo_df,
-        mp_banded_partial,
-        mp_banded_partial_df,
-    )
-
-    if differentiable:
-        build_band_tracedlo = build_band_tracedlo_df
-        mp_banded_partial = mp_banded_partial_df
-    if cheb is not None and (
-        differentiable or training or config.mp_type == "attention"
-    ):
-        raise ValueError(
-            "cheb (compressed edge stage) is inference-only and bilinear-"
-            "family-only: the poly build has no custom VJP and the "
-            "attention family consumes the exact edge features"
-        )
     if training and rng is None:
         raise ValueError("training=True requires rng")
     if rng is None:
@@ -564,6 +545,14 @@ def _make_banded_shard_fwd(
     if differentiable:
         build_band_tracedlo = build_band_tracedlo_df
         mp_banded_partial = mp_banded_partial_df
+    if cheb is not None and (
+        differentiable or training or config.mp_type == "attention"
+    ):
+        raise ValueError(
+            "cheb (compressed edge stage) is inference-only and bilinear-"
+            "family-only: the poly build has no custom VJP and the "
+            "attention family consumes the exact edge features"
+        )
 
     base = plan.halo
     D, m = base.n_shards, base.rows_per_shard
@@ -788,7 +777,6 @@ def apply_partitioned_banded_batch(
             tile(plan.boundary_ids), tile(plan.halo_lo),
         )
     send_idx_a, lnl_a, lo_a, bids_a, hlo_a = arrays
-    n_off = len(send_idx_a)
     shard_fwd = _make_banded_shard_fwd(
         config, plan, axis=axis, interpret=interpret,
         differentiable=differentiable, training=training, cheb=cheb,

@@ -177,7 +177,8 @@ class PartitionedTrainer:
         w = np.pad(w, ((0, pad),))
         from ..parallel.halo import PlanShapeMismatch
 
-        like = self._plan_like.get(gp.atoms.shape[0])
+        n_pad = gp.atoms.shape[0]
+        like = self._plan_like.get(n_pad)
         plan = None
         if like is not None:
             try:
@@ -191,7 +192,13 @@ class PartitionedTrainer:
             plan = make_banded_halo_plan(
                 gp.nlist, gp.edges, self.n_shards, block_rows=self.block_rows
             )
-            self._plan_like[gp.atoms.shape[0]] = plan
+            # EXTEND the stored envelope rather than replace it: an
+            # outlier frame must not evict the union that keeps the
+            # rest of the trajectory in one compiled group
+            self._plan_like[n_pad] = (
+                plan if like is None
+                else self._union_envelope([like, plan])
+            )
         arrays = (
             plan.halo.send_idx, plan.halo.local_nlist, plan.lo,
             plan.boundary_ids, plan.halo_lo,
@@ -324,11 +331,13 @@ class PartitionedTrainer:
         """Stack a same-shape group's device arrays into frame tables
         [F, ...] for the scan (one extra device-resident copy of the
         group — trajectory-scale runs trade HBM for the ~F× reduction
-        in per-epoch host round trips)."""
+        in per-epoch host round trips). The cache entry RETAINS the
+        preps: an id() key alone could alias a recycled id to another
+        frame's tables (same hazard as the _prepared cache)."""
         key = (preps[0].shape_key, tuple(id(p) for p in preps))
         hit = self._tables.get(key)
         if hit is not None:
-            return hit
+            return hit[1]
         graphs = Graph(*[
             jnp.stack([getattr(p.graph, f) for p in preps])
             for f in Graph._fields
@@ -341,7 +350,7 @@ class PartitionedTrainer:
         tables = (graphs, ys, ws, arrays)
         while len(self._tables) >= 8:  # a handful of table sets at most
             self._tables.pop(next(iter(self._tables)))
-        self._tables[key] = tables
+        self._tables[key] = (tuple(preps), tables)
         return tables
 
     def _epoch_fn(self, prep: PreparedStructure, batched: bool):

@@ -202,6 +202,7 @@ def banded_fragments_eligible(
         fits = plan_fits_vmem(
             fragment_band_plan(max(batch_size // dp, 1), pad_to),
             config.atom_feature_size,
+            n_edge_channels=config.edge_feature_size,
         )
     return shape_ok, fits
 

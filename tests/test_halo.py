@@ -623,6 +623,9 @@ def test_plan_shape_envelope_and_group_collapse():
     tr._prepared.clear()
     groups = tr._group(frames)
     assert len(groups) == 1, {k: len(v) for k, v in groups.items()}
+
+
+def test_partitioned_epoch_scan_matches_serial_steps():
     """The compiled epoch (lax.scan over the device-resident frame
     table, VERDICT r4 item 3) reproduces the serial per-step loop
     exactly for a deterministic config (noise=0, dropout off) — both

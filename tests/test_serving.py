@@ -549,6 +549,18 @@ def test_serving_vmem_selects_class_bucketed_fast_path(monkeypatch):
     cls_plan = sm._banded_cls_plan_vmem(g)
     assert cls_plan is not None and len(cls_plan.classes) > 1
     assert sm._banded_cls_plan_vmem(g) is cls_plan  # verify-and-reuse
+    # static-ids first compile; a rebuilt same-shape plan switches to
+    # the traced-(ids, lo) variant without a fresh static compile
+    import copy
+
+    run1 = sm._banded_cls_vmem_fwd(cls_plan)
+    key = next(k for k in sm._jit_cache if k[0] == "banded_cls_vmem")
+    ent = sm._jit_cache[key]
+    assert ent["plan"] is cls_plan and ent["traced"] is None
+    assert sm._banded_cls_vmem_fwd(cls_plan) is run1
+    run2 = sm._banded_cls_vmem_fwd(copy.deepcopy(cls_plan))
+    assert run2 is not run1 and ent["traced"] is not None
+    assert len([k for k in sm._jit_cache if k[0] == "banded_cls_vmem"]) == 1
     called = {}
 
     def stub(plan):
