@@ -127,6 +127,7 @@ class ServingModel:
         self._frames_plan = None  # union plan for batched predict_frames
         self._cls_plan = None     # class-bucketed plan (HBM fast path)
         self._cls_plan_vmem = None  # class-bucketed plan (VMEM fast path)
+        self._cls_vmem_off = False  # set when frame motion re-buckets
         self._struct = None
         self._jit_cache = {}
         self.mesh = mesh
@@ -308,6 +309,8 @@ class ServingModel:
             plan_fits_vmem,
         )
 
+        if self._cls_vmem_off:
+            return None
         if self._cls_plan_vmem is not None and class_plan_covers(
             self._cls_plan_vmem, g.nlist, g.edges
         ):
@@ -326,6 +329,19 @@ class ServingModel:
                 probe, cfg.atom_feature_size, cfg.edge_feature_size,
                 dtype_bytes=b,
             ):
+                return None
+        if self._cls_plan_vmem is not None:
+            sig = lambda p: (  # noqa: E731
+                p.n_padded, p.block_rows,
+                tuple((len(c.ids), c.window) for c in p.classes),
+            )
+            if sig(cls_plan) != sig(self._cls_plan_vmem):
+                # frame motion re-buckets the classes: each rebuild
+                # would be a fresh whole-forward compile (seconds on a
+                # tunneled chip), so hand the trajectory to the uniform
+                # banded path, whose shape-stable plan reuses one
+                # compilation via the traced lo operand
+                self._cls_vmem_off = True
                 return None
         self._cls_plan_vmem = cls_plan
         return cls_plan

@@ -572,6 +572,42 @@ def test_serving_vmem_selects_class_bucketed_fast_path(monkeypatch):
     assert called["plan"] is cls_plan
 
 
+def test_serving_cls_vmem_disables_on_rebucketing_frames():
+    """When frame motion re-buckets the class plan (different shape
+    signature), the VMEM cls path hands off to the uniform banded path
+    instead of paying a fresh whole-forward compile per frame."""
+    from nmrgnn_tpu.graph import inv_degree_from_nlist
+
+    rng = np.random.default_rng(5)
+    n, k = 2048, 8
+
+    def frame(spread_hi):
+        spread = np.where(np.arange(n) % 4 == 0, spread_hi, 25)
+        nlist = np.clip(
+            np.arange(n)[:, None]
+            + rng.integers(-1, 2, (n, k)) * spread[:, None]
+            + rng.integers(-15, 15, (n, k)),
+            0, n - 1,
+        ).astype(np.int32)
+        dists = rng.uniform(0.01, 0.2, (n, k)).astype(np.float32)
+        return Graph(
+            atoms=np.eye(10, dtype=np.float32)[rng.integers(2, 5, n)],
+            nlist=nlist, edges=dists,
+            inv_degree=np.asarray(inv_degree_from_nlist(jnp.asarray(nlist))),
+        )
+
+    params = init_params(jax.random.PRNGKey(0), ModelConfig())
+    sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False,
+                      precision="fast")
+    g1, g2 = frame(150), frame(400)  # different window distributions
+    assert sm._banded_cls_plan_vmem(g1) is not None
+    assert not sm._cls_vmem_off
+    # the re-bucketed second frame turns the cls path off for good
+    assert sm._banded_cls_plan_vmem(g2) is None
+    assert sm._cls_vmem_off
+    assert sm._banded_cls_plan_vmem(g1) is None  # stays off
+
+
 def test_serving_hbm_cls_static_then_traced_dispatch():
     """The first compile for a class-plan shape bakes ids/lo statically
     (contiguous-run reassembly); only a REBUILT same-shape plan gets the
