@@ -128,6 +128,7 @@ class ServingModel:
         self._cls_plan = None     # class-bucketed plan (HBM fast path)
         self._cls_plan_vmem = None  # class-bucketed plan (VMEM fast path)
         self._cls_vmem_off = False  # set when frame motion re-buckets
+        self._cls_hbm_off = False   # the HBM twin's same hatch
         self._struct = None
         self._jit_cache = {}
         self.mesh = mesh
@@ -278,6 +279,8 @@ class ServingModel:
             self._cls_plan, g.nlist, g.edges
         ):
             return self._cls_plan
+        if self._cls_hbm_off:
+            return None
         cls_plan = band_plan_classes(
             g.nlist, g.edges, block_rows=self.block_size
         )
@@ -292,6 +295,19 @@ class ServingModel:
                 probe, cfg.atom_feature_size, cfg.edge_feature_size,
                 dtype_bytes=b,
             ):
+                return None
+        if self._cls_plan is not None:
+            sig = lambda p: (  # noqa: E731
+                p.n_padded, p.block_rows,
+                tuple((len(c.ids), c.window) for c in p.classes),
+            )
+            if sig(cls_plan) != sig(self._cls_plan):
+                # frame motion re-buckets the classes: each rebuild is
+                # a fresh whole-forward compile — hand the trajectory
+                # to the uniform HBM banded path (shape-stable plan,
+                # traced-lo compilation reuse), same hatch as the VMEM
+                # twin
+                self._cls_hbm_off = True
                 return None
         self._cls_plan = cls_plan
         return cls_plan
@@ -309,12 +325,14 @@ class ServingModel:
             plan_fits_vmem,
         )
 
-        if self._cls_vmem_off:
-            return None
         if self._cls_plan_vmem is not None and class_plan_covers(
             self._cls_plan_vmem, g.nlist, g.edges
         ):
+            # a still-valid compiled plan keeps serving even after the
+            # off switch fired (the compile is already paid for)
             return self._cls_plan_vmem
+        if self._cls_vmem_off:
+            return None
         cls_plan = band_plan_classes(
             g.nlist, g.edges, block_rows=self.block_size
         )

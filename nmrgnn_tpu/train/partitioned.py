@@ -192,13 +192,21 @@ class PartitionedTrainer:
             plan = make_banded_halo_plan(
                 gp.nlist, gp.edges, self.n_shards, block_rows=self.block_rows
             )
-            # EXTEND the stored envelope rather than replace it: an
-            # outlier frame must not evict the union that keeps the
-            # rest of the trajectory in one compiled group
-            self._plan_like[n_pad] = (
-                plan if like is None
-                else self._union_envelope([like, plan])
-            )
+            if like is not None:
+                # EXTEND the stored envelope rather than replace it (an
+                # outlier must not evict the union that keeps the rest
+                # of the trajectory in one group), and rebuild THIS
+                # frame inside the extended union so it lands in the
+                # same shape group as subsequent frames instead of a
+                # fragmented one-frame group
+                env = self._union_envelope([like, plan])
+                self._plan_like[n_pad] = env
+                plan = make_banded_halo_plan(
+                    gp.nlist, gp.edges, self.n_shards,
+                    block_rows=self.block_rows, like=env,
+                )
+            else:
+                self._plan_like[n_pad] = plan
         arrays = (
             plan.halo.send_idx, plan.halo.local_nlist, plan.lo,
             plan.boundary_ids, plan.halo_lo,

@@ -624,6 +624,23 @@ def test_plan_shape_envelope_and_group_collapse():
     groups = tr._group(frames)
     assert len(groups) == 1, {k: len(v) for k, v in groups.items()}
 
+    # a STREAMED outlier (prepare() outside _group) extends the stored
+    # envelope and is itself rebuilt inside the extension, so it shares
+    # the shape group of any subsequent frame with the same needs
+    wide = np.asarray(frames[1].graph.nlist).copy()
+    rows2 = np.arange(520, 900, 3)
+    wide[rows2, -1] = 513  # shard-1-local long-range refs
+    f3 = dataclasses.replace(
+        frames[1], graph=frames[1].graph._replace(nlist=wide)
+    )
+    env_before = tr._plan_like[next(iter(tr._plan_like))]
+    p3 = tr.prepare(f3)
+    env_after = tr._plan_like[next(iter(tr._plan_like))]
+    assert env_after.window >= env_before.window
+    assert p3.plan.window == env_after.window
+    f4 = dataclasses.replace(f3, y=f3.y.copy())  # same topology, new obj
+    assert tr.prepare(f4).shape_key == p3.shape_key
+
 
 def test_partitioned_epoch_scan_matches_serial_steps():
     """The compiled epoch (lax.scan over the device-resident frame

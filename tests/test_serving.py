@@ -600,12 +600,16 @@ def test_serving_cls_vmem_disables_on_rebucketing_frames():
     sm = ServingModel(params, ModelConfig(), use_pallas=True, reorder=False,
                       precision="fast")
     g1, g2 = frame(150), frame(400)  # different window distributions
-    assert sm._banded_cls_plan_vmem(g1) is not None
+    plan1 = sm._banded_cls_plan_vmem(g1)
+    assert plan1 is not None
     assert not sm._cls_vmem_off
-    # the re-bucketed second frame turns the cls path off for good
+    # the re-bucketed second frame turns NEW cls plans off for good ...
     assert sm._banded_cls_plan_vmem(g2) is None
     assert sm._cls_vmem_off
-    assert sm._banded_cls_plan_vmem(g1) is None  # stays off
+    # ... but frames the already-compiled plan still covers keep using
+    # it (the compile is paid for)
+    assert sm._banded_cls_plan_vmem(g1) is plan1
+    assert sm._banded_cls_plan_vmem(g2) is None  # new shapes stay off
 
 
 def test_serving_hbm_cls_static_then_traced_dispatch():
